@@ -1,0 +1,188 @@
+"""Static configuration for the SLAM engine.
+
+All configs are frozen dataclasses so they are hashable and can be closed
+over by / passed as static arguments to jitted functions.  The numeric
+defaults reproduce the reference's operating constants (see BASELINE.md and
+/root/reference citations on each field).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class CameraConfig:
+    """Pinhole camera intrinsics + depth scaling.
+
+    Defaults are the TUM RGB-D preset used by the reference
+    (rgbd_file_provider.cpp:136-145): focal (525, 525), principal point
+    (319.5, 239.5), depth factor 1/5000.
+    """
+
+    fx: float = 525.0
+    fy: float = 525.0
+    cx: float = 319.5
+    cy: float = 239.5
+    depth_factor: float = 1.0 / 5000.0
+    width: int = 640
+    height: int = 480
+
+
+def tum_camera_config() -> CameraConfig:
+    return CameraConfig()
+
+
+@dataclasses.dataclass(frozen=True)
+class DetectorConfig:
+    """ORB-style detector configuration.
+
+    Mirrors the reference's custom extractor (distributed_cv_feature.cpp):
+    8-level pyramid x1.2 (:374-378,:1184), FAST threshold 20 with per-cell
+    retry at 7 (:918-925), 64 px cells (:852-853), 19 px border (:699),
+    IC-angle patch 31 (:513), 7x7 sigma=2 blur (:798), 256-pair rotated
+    BRIEF (:25-282).  The reference's quadtree keypoint distribution
+    (:981-1154) is replaced by a static-shape equivalent with the same goal
+    (spatially uniform, max-response keypoints): per-cell NMS + global
+    response top-k with per-cell caps.
+    """
+
+    n_levels: int = 8
+    scale_factor: float = 1.2
+    fast_threshold: int = 20
+    fast_threshold_low: int = 7
+    cell_size: int = 32          # selection grid cell (px, level-0 coords)
+    border: int = 19             # descriptor-safe margin, orb_patch_radius_
+    max_keypoints: int = 512     # static keypoint capacity per frame
+    max_per_cell: int = 4        # spatial-uniformity cap per selection cell
+    ic_patch_radius: int = 15    # 31 px intensity-centroid patch
+    blur_ksize: int = 7
+    blur_sigma: float = 2.0
+
+
+@dataclasses.dataclass(frozen=True)
+class MatcherConfig:
+    """Brute-force Hamming 2-NN with Lowe ratio test.
+
+    Reference: orb_feature.cpp:81 (BRUTEFORCE_HAMMING), :96-105 (knn=2,
+    ratio 0.7).
+    """
+
+    lowe_ratio: float = 0.7
+    max_hamming: int = 256  # accept-all by default, like the reference
+
+
+@dataclasses.dataclass(frozen=True)
+class PnpConfig:
+    """Batched RANSAC pose solver.
+
+    Reference semantics: cv_ransac_pnp.cpp:56-57 — 100 iterations, 5.0 px
+    reprojection threshold, 0.99 confidence, warm-started.  The TPU design
+    evaluates a fixed batch of minimal-sample hypotheses in parallel
+    (vmapped 3-point alignments + argmax) instead of a sequential
+    early-exit loop, then polishes with Gauss-Newton on inliers.
+    """
+
+    n_hypotheses: int = 128
+    inlier_threshold_px: float = 5.0
+    refine_iters: int = 10
+    min_points: int = 4
+
+
+@dataclasses.dataclass(frozen=True)
+class TrackerConfig:
+    """Frontend tracking policy constants.
+
+    Reference: rgbd_feature_frontend.cpp:82-99 (min_matched_points=10,
+    better_keyframe_landmarks=60, new_keyframe_min_landmarks=30), :407
+    (new-landmark depth <= 3 m), :264 / :551 (covisibility depths 2 / 5).
+    """
+
+    min_matched_points: int = 10
+    new_keyframe_min_inliers: int = 30
+    better_keyframe_landmarks: int = 60
+    new_landmark_max_depth: float = 3.0
+    covis_depth_tracking: int = 2
+    covis_depth_better_kf: int = 5
+
+
+@dataclasses.dataclass(frozen=True)
+class MapConfig:
+    """Fixed-capacity tensor map arena sizes.
+
+    The reference map (basic_map.cpp) grows unboundedly on the host; the
+    TPU arena is preallocated with validity masks.  Overflow policy: new
+    insertions beyond capacity are dropped (masked out) — see map/arena.py.
+    """
+
+    max_keyframes: int = 256
+    max_landmarks: int = 16384
+    max_observations: int = 131072
+    descriptor_bits: int = 256
+
+
+@dataclasses.dataclass(frozen=True)
+class BackendConfig:
+    """Bundle-adjustment backend.
+
+    Reference (intent; the C++ backend is disabled at ceres_backend.cpp:95):
+    3D point-to-point residual in camera frame (:19-60), gauge fixed at the
+    first keyframe (:155-159), <= 100 iterations (:114), outliers at
+    squared residual > 0.15^2 (:212), local BA window = 1-hop covisibility
+    (:168), global BA unbounded (:180).
+    """
+
+    max_iterations: int = 20
+    local_window_depth: int = 1
+    outlier_threshold_m: float = 0.15
+    init_lambda: float = 1e-4
+    lambda_up: float = 10.0
+    lambda_down: float = 0.1
+    min_obs_per_landmark: int = 2
+    huber_delta: float = 0.1
+
+
+@dataclasses.dataclass(frozen=True)
+class LoopConfig:
+    """BoW-style loop detection / relocalization.
+
+    The reference stubs these (orb_relocalizer.cpp:32-55,
+    rgbd_feature_frontend.cpp:164-167); the rebuild implements them as
+    batched matmul vocabulary scoring + geometric verification +
+    pose-graph optimization.
+    """
+
+    vocab_size: int = 1024
+    top_k: int = 3
+    min_score: float = 0.15
+    min_gap_keyframes: int = 20   # don't match temporally adjacent KFs
+    min_inliers: int = 25
+    pgo_iterations: int = 20
+
+
+@dataclasses.dataclass(frozen=True)
+class SlamConfig:
+    camera: CameraConfig = dataclasses.field(default_factory=CameraConfig)
+    detector: DetectorConfig = dataclasses.field(default_factory=DetectorConfig)
+    matcher: MatcherConfig = dataclasses.field(default_factory=MatcherConfig)
+    pnp: PnpConfig = dataclasses.field(default_factory=PnpConfig)
+    tracker: TrackerConfig = dataclasses.field(default_factory=TrackerConfig)
+    map: MapConfig = dataclasses.field(default_factory=MapConfig)
+    backend: BackendConfig = dataclasses.field(default_factory=BackendConfig)
+    loop: LoopConfig = dataclasses.field(default_factory=LoopConfig)
+
+    def replace(self, **kw) -> "SlamConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def tiny_test_config(height: int = 120, width: int = 160) -> SlamConfig:
+    """Small capacities for fast CPU tests."""
+    return SlamConfig(
+        camera=CameraConfig(fx=100.0, fy=100.0, cx=width / 2 - 0.5,
+                            cy=height / 2 - 0.5, width=width, height=height),
+        detector=DetectorConfig(n_levels=3, max_keypoints=128, border=19),
+        map=MapConfig(max_keyframes=16, max_landmarks=512,
+                      max_observations=2048),
+        pnp=PnpConfig(n_hypotheses=32),
+    )
