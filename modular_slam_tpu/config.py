@@ -52,10 +52,10 @@ class DetectorConfig:
     scale_factor: float = 1.2
     fast_threshold: int = 20
     fast_threshold_low: int = 7
-    cell_size: int = 32          # selection grid cell (px, level-0 coords)
+    cell_size: int = 32          # selection grid cell (~quadtree min-area 1000px²)
     border: int = 19             # descriptor-safe margin, orb_patch_radius_
     max_keypoints: int = 512     # static keypoint capacity per frame
-    max_per_cell: int = 4        # spatial-uniformity cap per selection cell
+    max_per_cell: int = 1        # quadtree keeps 1 max-response kp per leaf
     ic_patch_radius: int = 15    # 31 px intensity-centroid patch
     blur_ksize: int = 7
     blur_sigma: float = 2.0

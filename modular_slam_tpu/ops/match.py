@@ -1,0 +1,89 @@
+"""Brute-force Hamming 2-NN descriptor matching with Lowe ratio test.
+
+Reference: OrbOpenCvMatcher — BRUTEFORCE_HAMMING knnMatch(k=2) + ratio 0.7
+(orb_feature.cpp:81-117).
+
+TPU formulation: descriptors are ±1 int8 vectors, so Hamming distance is a
+matmul on the MXU: ham(a, b) = (256 - a·b) / 2.  2-NN and the ratio test
+are a masked top-2 over the distance matrix.  There is no popcount on the
+VPU — the ±1 dot-product trick is the standard workaround (SURVEY.md §7).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+
+from modular_slam_tpu.config import MatcherConfig
+from modular_slam_tpu.types import Matches
+
+Array = jnp.ndarray
+
+_BIG = jnp.float32(1e9)
+
+
+def hamming_matrix(a_pm1: Array, b_pm1: Array) -> Array:
+    """[N, 256] x [M, 256] ±1 int8 -> [N, M] float32 Hamming distances."""
+    dot = jnp.matmul(
+        a_pm1.astype(jnp.int32), b_pm1.astype(jnp.int32).T,
+        preferred_element_type=jnp.int32,
+    )
+    nbits = a_pm1.shape[-1]
+    return (nbits - dot).astype(jnp.float32) * 0.5
+
+
+def match_descriptors(
+    query_pm1: Array,
+    query_valid: Array,
+    train_pm1: Array,
+    train_valid: Array,
+    cfg: MatcherConfig,
+) -> Matches:
+    """2-NN + ratio matches from query rows to train rows.
+
+    Returns Matches(lm_slot=[N] best train index, distance, valid).
+    Invalid query/train rows never match.
+    """
+    d = hamming_matrix(query_pm1, train_pm1)
+    d = jnp.where(train_valid[None, :], d, _BIG)
+
+    # top-2 smallest along train axis
+    best_idx = jnp.argmin(d, axis=1)
+    best = jnp.take_along_axis(d, best_idx[:, None], axis=1)[:, 0]
+    d2 = d.at[jnp.arange(d.shape[0]), best_idx].set(_BIG)
+    second = jnp.min(d2, axis=1)
+
+    ok = (
+        query_valid
+        & (best < _BIG)
+        & (best <= cfg.max_hamming)
+        & (best < cfg.lowe_ratio * second)
+    )
+    return Matches(
+        lm_slot=best_idx.astype(jnp.int32),
+        distance=best,
+        valid=ok,
+    )
+
+
+def dedupe_matches(m: Matches, n_train: int) -> Matches:
+    """Keep only the best (smallest-distance) query per train index.
+
+    The reference's knnMatch produces at most one match per *query*; ties
+    on the train side can still collide.  For landmark association we want
+    one observation per landmark — resolve collisions by distance argmin.
+    """
+    d = jnp.where(m.valid, m.distance, _BIG)
+    # per-train best distance via scatter-min
+    best_per_train = jnp.full((n_train,), _BIG, dtype=d.dtype)
+    best_per_train = best_per_train.at[m.lm_slot].min(d)
+    keep = m.valid & (d <= best_per_train[m.lm_slot])
+    # break exact ties (two queries, same train, same distance): keep lowest
+    # query index via a tiny index-scaled epsilon ordering
+    qidx = jnp.arange(d.shape[0], dtype=jnp.float32)
+    d_tie = jnp.where(keep, d + qidx * 1e-6, _BIG)
+    best_tie = jnp.full((n_train,), _BIG, dtype=d.dtype)
+    best_tie = best_tie.at[m.lm_slot].min(d_tie)
+    keep = keep & (d_tie <= best_tie[m.lm_slot])
+    return Matches(lm_slot=m.lm_slot, distance=m.distance, valid=keep)

@@ -1,0 +1,229 @@
+"""Batched RANSAC pose estimation + Gauss-Newton polish.
+
+Reference semantics: cv::solvePnPRansac with 100 iterations, 5.0 px
+reprojection threshold, warm start from the current pose, inlier bitset
+output (cv_ransac_pnp.cpp:14-85).
+
+TPU-native redesign (SURVEY.md §7 step 4): instead of a sequential
+hypothesis loop with early exit, evaluate a *fixed batch* of minimal
+hypotheses in parallel and argmax the inlier count:
+
+- RGB-D gives every matched observation a 3D camera-frame point (depth
+  back-projection), so a minimal hypothesis is a 3-point rigid alignment
+  (Horn triad construction — no SVD needed for 3 points), much
+  TPU-friendlier than P3P root-solving;
+- hypothesis 0 is the warm-start pose (covers the reference's
+  use-initial-guess path);
+- scoring = full reprojection-error inlier count per hypothesis (vmapped);
+- polish = fixed-iteration damped Gauss-Newton on the inlier set over the
+  2D reprojection residual (the reference's solvePnPRansac refines with
+  LM on inliers internally).
+
+Everything is static-shape; degenerate samples (collinear / invalid /
+duplicate indices) simply score zero inliers.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from modular_slam_tpu.config import PnpConfig
+from modular_slam_tpu.geometry.camera import Camera, project
+from modular_slam_tpu.geometry.se3 import (
+    Pose,
+    matrix_to_quat,
+    pose_inverse,
+    quat_rotate,
+    quat_to_matrix,
+    se3_exp,
+    pose_compose,
+    quat_normalize,
+)
+
+Array = jnp.ndarray
+
+
+class PnpResult(NamedTuple):
+    pose: Pose          # camera-to-world (reference world pose convention)
+    inliers: Array      # [N] bool
+    n_inliers: Array    # int32
+    ok: Array           # bool — found a pose with >= min_points inliers
+
+
+def _triad(p1: Array, p2: Array, p3: Array) -> Array:
+    """Orthonormal frame [3, 3] (columns) from 3 points; degenerate sets
+    produce non-orthonormal garbage that is scored out downstream."""
+    e1 = p2 - p1
+    e1 = e1 / jnp.maximum(jnp.linalg.norm(e1), 1e-9)
+    e2 = p3 - p1
+    e2 = e2 - jnp.dot(e2, e1) * e1
+    e2 = e2 / jnp.maximum(jnp.linalg.norm(e2), 1e-9)
+    e3 = jnp.cross(e1, e2)
+    return jnp.stack([e1, e2, e3], axis=-1)
+
+
+def _align3(cam_pts: Array, world_pts: Array) -> Pose:
+    """Rigid camera-to-world transform from 3 correspondences [3, 3]."""
+    bw = _triad(world_pts[0], world_pts[1], world_pts[2])
+    bc = _triad(cam_pts[0], cam_pts[1], cam_pts[2])
+    R = bw @ bc.T
+    q = matrix_to_quat(R)
+    cw = jnp.mean(cam_pts, axis=0)
+    ww = jnp.mean(world_pts, axis=0)
+    t = ww - R @ cw
+    return Pose(q=q, t=t)
+
+
+def _reproj_errors(
+    cam: Camera, pose: Pose, pts_world: Array, uv: Array
+) -> tuple[Array, Array]:
+    """Squared pixel errors [N] + positive-depth mask [N] for a pose."""
+    qi = quat_normalize(pose.q) * jnp.array([1.0, -1.0, -1.0, -1.0])
+    pc = quat_rotate(qi, pts_world - pose.t)
+    uv_hat = project(cam, pc)
+    err2 = jnp.sum((uv_hat - uv) ** 2, axis=-1)
+    return err2, pc[..., 2] > 0.0
+
+
+def _count_inliers(
+    cam: Camera, pose: Pose, pts_world: Array, uv: Array, valid: Array,
+    thresh2: float,
+) -> Array:
+    err2, front = _reproj_errors(cam, pose, pts_world, uv)
+    ok = valid & front & (err2 < thresh2)
+    return jnp.sum(ok.astype(jnp.int32))
+
+
+def _gauss_newton_polish(
+    cam: Camera,
+    pose0: Pose,
+    pts_world: Array,
+    uv: Array,
+    weights: Array,
+    iters: int,
+) -> Pose:
+    """Damped GN on 2D reprojection residuals, left-multiplicative update
+    of the camera-from-world transform T_cw; returns camera-to-world."""
+
+    def step(tcw: Pose, _):
+        R = quat_to_matrix(tcw.q)
+        pc = (pts_world @ R.T) + tcw.t
+        z = jnp.maximum(pc[:, 2], 1e-6)
+        inv_z = 1.0 / z
+        x, y = pc[:, 0], pc[:, 1]
+        uv_hat = jnp.stack(
+            [x * inv_z * cam.fx + cam.cx, y * inv_z * cam.fy + cam.cy], axis=-1
+        )
+        r = uv - uv_hat  # [N, 2]
+
+        fxz = cam.fx * inv_z
+        fyz = cam.fy * inv_z
+        zero = jnp.zeros_like(fxz)
+        # d uv_hat / d pc
+        Jp = jnp.stack(
+            [
+                jnp.stack([fxz, zero, -fxz * x * inv_z], axis=-1),
+                jnp.stack([zero, fyz, -fyz * y * inv_z], axis=-1),
+            ],
+            axis=-2,
+        )  # [N, 2, 3]
+        # d pc / d xi (left perturbation of T_cw): [I | -[pc]x]
+        px, py, pz = pc[:, 0], pc[:, 1], pc[:, 2]
+        zeros = jnp.zeros_like(px)
+        skew = jnp.stack(
+            [
+                jnp.stack([zeros, -pz, py], axis=-1),
+                jnp.stack([pz, zeros, -px], axis=-1),
+                jnp.stack([-py, px, zeros], axis=-1),
+            ],
+            axis=-2,
+        )  # [N, 3, 3]
+        Jxi = jnp.concatenate(
+            [jnp.broadcast_to(jnp.eye(3), skew.shape), -skew], axis=-1
+        )  # [N, 3, 6]
+        J = jnp.einsum("nij,njk->nik", Jp, Jxi)  # [N, 2, 6]
+
+        w = weights[:, None, None]
+        H = jnp.einsum("nik,nil->kl", J * w, J)
+        g = jnp.einsum("nik,ni->k", J * w, r)
+        H = H + 1e-6 * jnp.eye(6)
+        xi = jnp.linalg.solve(H, g)
+        delta = se3_exp(xi)
+        new = pose_compose(delta, tcw)
+        return new, None
+
+    tcw0 = pose_inverse(pose0)
+    tcw, _ = jax.lax.scan(step, tcw0, None, length=iters)
+    return pose_inverse(tcw)
+
+
+def ransac_pnp(
+    cam: Camera,
+    pts_world: Array,      # [N, 3] matched landmark positions
+    uv: Array,             # [N, 2] observed pixels
+    pts_cam: Array,        # [N, 3] depth-backprojected observations
+    valid: Array,          # [N] usable matches (ratio-test + valid depth)
+    initial: Pose,         # warm start (current sensor pose)
+    key: Array,            # PRNG key
+    cfg: PnpConfig,
+) -> PnpResult:
+    n = pts_world.shape[0]
+    thresh2 = cfg.inlier_threshold_px ** 2
+
+    # --- hypothesis generation -------------------------------------------
+    nvalid = jnp.sum(valid.astype(jnp.int32))
+    probs = valid.astype(jnp.float32) + 1e-9  # keep normalizable with 0 valid
+    probs = probs / jnp.sum(probs)
+    idx = jax.random.choice(
+        key, n, shape=(cfg.n_hypotheses, 3), replace=True, p=probs
+    )  # duplicate indices within a triplet -> degenerate, scored out
+
+    hyp = jax.vmap(lambda i: _align3(pts_cam[i], pts_world[i]))(idx)
+    # prepend warm start as hypothesis 0
+    hyp = Pose(
+        q=jnp.concatenate([initial.q[None], hyp.q]),
+        t=jnp.concatenate([initial.t[None], hyp.t]),
+    )
+
+    counts = jax.vmap(
+        lambda q, t: _count_inliers(
+            cam, Pose(q=q, t=t), pts_world, uv, valid, thresh2
+        )
+    )(hyp.q, hyp.t)
+
+    best = jnp.argmax(counts)
+    best_pose = Pose(q=hyp.q[best], t=hyp.t[best])
+
+    # --- polish on inliers ------------------------------------------------
+    err2, front = _reproj_errors(cam, best_pose, pts_world, uv)
+    inl = valid & front & (err2 < thresh2)
+    w = inl.astype(jnp.float32)
+    refined = _gauss_newton_polish(
+        cam, best_pose, pts_world, uv, w, cfg.refine_iters
+    )
+
+    # final inlier classification at the refined pose
+    err2r, frontr = _reproj_errors(cam, refined, pts_world, uv)
+    inliers = valid & frontr & (err2r < thresh2)
+    n_inl = jnp.sum(inliers.astype(jnp.int32))
+
+    # guard: if refinement somehow degraded below the unrefined best,
+    # keep the unrefined hypothesis (degenerate GN on few points)
+    keep_refined = n_inl >= counts[best]
+    final_pose = Pose(
+        q=jnp.where(keep_refined, refined.q, best_pose.q),
+        t=jnp.where(keep_refined, refined.t, best_pose.t),
+    )
+    final_inl = jnp.where(keep_refined, inliers, inl)
+    final_n = jnp.sum(final_inl.astype(jnp.int32))
+
+    ok = (final_n >= cfg.min_points) & (nvalid >= cfg.min_points)
+    return PnpResult(
+        pose=Pose(q=quat_normalize(final_pose.q), t=final_pose.t),
+        inliers=final_inl,
+        n_inliers=final_n,
+        ok=ok,
+    )

@@ -27,6 +27,9 @@ _CACHE_DIR = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
 jax.config.update("jax_compilation_cache_dir", os.path.abspath(_CACHE_DIR))
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+# don't persist XLA:CPU AOT blobs — they embed compile-machine CPU features
+# and spam feature-mismatch warnings on reload
+jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
 
 assert jax.default_backend() == "cpu", jax.default_backend()
 assert len(jax.devices()) == 8, jax.devices()
