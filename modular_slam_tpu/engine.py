@@ -1,0 +1,160 @@
+"""The SLAM engine: jitted per-frame step + host-side system wrapper.
+
+Reference: KeypointSlam engine loop (slam.hpp:74-99) — fetch -> frontend ->
+pose update -> map update -> backend -> frontend update.  Here the frame
+step is one jit-compiled function `slam_step(arena, state, gray, depth,
+time, key)`; the host loop only feeds frames and collects poses
+(SURVEY.md §7 step 6: deterministic, compiled once, no host sync inside).
+
+The BA backend runs asynchronously from the host loop's perspective: the
+engine calls it every `ba_every` new keyframes (local BA over the 1-hop
+covisibility window, ceres_backend.cpp:162-171 intent) — JAX async
+dispatch overlaps it with the next frames' tracking (the reference's
+unrealized "TODO: run as std::async", slam.hpp:94).
+"""
+
+from __future__ import annotations
+
+import enum
+from typing import List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from modular_slam_tpu.config import SlamConfig
+from modular_slam_tpu.frontend.tracker import TrackState, initial_state, track_frame
+from modular_slam_tpu.geometry.camera import Camera, camera_from_config
+from modular_slam_tpu.geometry.se3 import Pose
+from modular_slam_tpu.map.arena import MapArena, empty_arena
+from modular_slam_tpu.ops.detector import detect
+from modular_slam_tpu.types import RgbdFrame, TrackResult
+
+Array = jnp.ndarray
+
+
+class SlamResult(enum.Enum):
+    """Engine result codes (slam.hpp:14-20 parity)."""
+
+    SUCCESS = 0
+    NO_DATA_AVAILABLE = 1
+    NO_CONSTRAINTS = 2
+    ERROR = 3
+
+
+def make_slam_step(cfg: SlamConfig):
+    """Build the jitted engine step closed over the static config."""
+    cam = camera_from_config(cfg.camera)
+
+    def slam_step(
+        arena: MapArena,
+        state: TrackState,
+        gray: Array,
+        depth: Array,
+        time: Array,
+        key: Array,
+    ) -> Tuple[MapArena, TrackState, TrackResult]:
+        feats = detect(gray, depth, cfg.detector)
+        return track_frame(arena, state, feats, cam, cfg, time, key)
+
+    return jax.jit(slam_step, donate_argnums=(0,))
+
+
+class SlamSystem:
+    """Host-side orchestration: frame feed, trajectory collection, and
+    (optionally) the BA backend + loop closure.
+
+    Assembled like the reference's SlamBuilder (slam_builder.hpp:93-177)
+    but with plain constructor configuration; observer callbacks can be
+    registered for frame-finished events (dataFetched/frontendFinished
+    signal parity)."""
+
+    def __init__(self, cfg: Optional[SlamConfig] = None, seed: int = 0,
+                 enable_backend: bool = True, ba_every: int = 1):
+        self.cfg = cfg or SlamConfig()
+        self.cam: Camera = camera_from_config(self.cfg.camera)
+        self.arena: MapArena = empty_arena(self.cfg.map)
+        self.state: TrackState = initial_state()
+        self._step = make_slam_step(self.cfg)
+        self._key = jax.random.PRNGKey(seed)
+        self.trajectory: List[Tuple[float, Pose]] = []
+        self.results: List[TrackResult] = []
+        self._frame_observers = []
+        self.enable_backend = enable_backend
+        self.ba_every = ba_every
+        self._kf_since_ba = 0
+        self._ba_fn = None  # built lazily on first use
+
+    # -- observer hooks (signal parity with SlamBuilder decorators) --------
+    def register_frame_observer(self, fn) -> None:
+        """fn(timestamp, pose, result) called after each processed frame."""
+        self._frame_observers.append(fn)
+
+    # -- engine loop --------------------------------------------------------
+    def process(self, rgb: np.ndarray, depth: np.ndarray,
+                timestamp: float) -> SlamResult:
+        from modular_slam_tpu.io.tum import frame_to_device
+
+        frame: RgbdFrame = frame_to_device(rgb, depth, timestamp)
+        self._key, sub = jax.random.split(self._key)
+        self.arena, self.state, result = self._step(
+            self.arena, self.state, frame.gray, frame.depth,
+            frame.timestamp, sub,
+        )
+        self.results.append(result)
+        pose = Pose(q=result.pose.q, t=result.pose.t)
+        self.trajectory.append((timestamp, pose))
+
+        if self.enable_backend and bool(result.new_keyframe):
+            self._kf_since_ba += 1
+            if self._kf_since_ba >= self.ba_every:
+                self._run_local_ba(int(result.kf_slot))
+                self._kf_since_ba = 0
+
+        for fn in self._frame_observers:
+            fn(timestamp, pose, result)
+
+        if not bool(result.tracking_ok):
+            return SlamResult.NO_CONSTRAINTS
+        return SlamResult.SUCCESS
+
+    def _run_local_ba(self, kf_slot: int) -> None:
+        from modular_slam_tpu.backend.ba import make_local_ba
+
+        if self._ba_fn is None:
+            self._ba_fn = make_local_ba(self.cfg)
+        self.arena, self.state = self._ba_fn(
+            self.arena, self.state, jnp.int32(kf_slot)
+        )
+
+    def run(self, dataset, writer=None, max_frames: Optional[int] = None):
+        """Process a full dataset; optionally stream poses to a trajectory
+        writer.  Returns the list of (timestamp, Pose)."""
+        for i, (rgb, depth, ts) in enumerate(dataset):
+            if max_frames is not None and i >= max_frames:
+                break
+            self.process(rgb, depth, ts)
+            if writer is not None:
+                writer.write(ts, self.trajectory[-1][1])
+        return self.trajectory
+
+    # -- introspection ------------------------------------------------------
+    @property
+    def n_keyframes(self) -> int:
+        return int(self.arena.n_kf)
+
+    @property
+    def n_landmarks(self) -> int:
+        return int(self.arena.n_lm)
+
+    def stats(self) -> dict:
+        """SlamStatisticsWidget parity (slam_statistics_widget.cpp:28-34)."""
+        last = self.results[-1] if self.results else None
+        return {
+            "keyframes": self.n_keyframes,
+            "landmarks": self.n_landmarks,
+            "observations": int(self.arena.n_obs),
+            "last_n_matches": int(last.n_matches) if last else 0,
+            "last_n_inliers": int(last.n_inliers) if last else 0,
+            "tracking_ok": bool(last.tracking_ok) if last else False,
+        }

@@ -1,0 +1,214 @@
+"""RGB-D feature-tracking frontend — the per-frame tracking brain.
+
+Reference: RgbdFeatureFrontend
+(/root/reference/src/lib/modular_slam/rgbd_feature_frontend.cpp):
+- first-frame bootstrap at identity pose, all valid-depth keypoints become
+  landmarks (initFirstKeyframe :433-449);
+- tracking: match against landmarks visible within a 2-hop covisibility
+  neighborhood of the reference keyframe (:256-277, depth 2 at :264),
+  depth back-projection (:119-138), RANSAC PnP warm-started at the current
+  pose (:345-347), min-matched gate of 10 (:339-343);
+- better-reference-keyframe search over 5 hops by visibility voting
+  (:544-575);
+- new keyframe when PnP inliers < 30 (:156-162, :373): unmatched keypoints
+  with 0 < depth <= 3 m become landmarks (:402-431); note the reference's
+  index bug #7 (SURVEY.md §2.4) is deliberately NOT reproduced — we use
+  true keypoint indices;
+- tracking failure: keep the last pose and report failure (the reference
+  relocalizer is a stub, orb_relocalizer.cpp:32-36); relocalization
+  against the BoW database is wired in at the engine level (loop/).
+
+Fully jittable: all branches are lax.cond over the functional map arena.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from modular_slam_tpu.config import SlamConfig
+from modular_slam_tpu.geometry.camera import Camera, backproject
+from modular_slam_tpu.geometry.se3 import Pose, identity_pose, pose_apply
+from modular_slam_tpu.map.arena import (
+    MapArena,
+    add_keyframe,
+    add_landmarks,
+    add_observations,
+    khop_keyframes,
+    visible_landmarks,
+)
+from modular_slam_tpu.ops.match import dedupe_matches, match_descriptors
+from modular_slam_tpu.ops.pnp import ransac_pnp
+from modular_slam_tpu.types import Features, TrackResult
+
+Array = jnp.ndarray
+
+
+class TrackState(NamedTuple):
+    pose: Pose          # current sensor pose (camera-to-world)
+    ref_kf: Array       # int32 reference keyframe slot
+    frame_idx: Array    # int32 — frames processed
+    lost: Array         # bool — tracking currently lost
+
+
+def initial_state() -> TrackState:
+    return TrackState(
+        pose=identity_pose(),
+        ref_kf=jnp.int32(0),
+        frame_idx=jnp.int32(0),
+        lost=jnp.array(False),
+    )
+
+
+def _bootstrap(
+    arena: MapArena, state: TrackState, feats: Features, cam: Camera,
+    cfg: SlamConfig, time: Array,
+) -> Tuple[MapArena, TrackState, TrackResult]:
+    """First frame: identity-pose keyframe; valid-depth keypoints ->
+    landmarks + observations."""
+    kps = feats.keypoints
+    pose = identity_pose()
+    arena, kf_slot = add_keyframe(arena, pose, time)
+
+    has_depth = kps.valid & (kps.depth > 0.0)
+    pts_cam = backproject(cam, kps.uv, kps.depth)
+    pts_world = pts_cam  # identity pose
+
+    arena, lm_slots = add_landmarks(
+        arena, pts_world, feats.descriptors.unpacked, has_depth
+    )
+    arena = add_observations(
+        arena, kf_slot, lm_slots, kps.uv, kps.depth,
+        feats.descriptors.unpacked, has_depth,
+    )
+
+    n = jnp.sum(has_depth.astype(jnp.int32))
+    result = TrackResult(
+        pose=pose,
+        n_matches=n,
+        n_inliers=n,
+        tracking_ok=jnp.array(True),
+        new_keyframe=jnp.array(True),
+        kf_slot=kf_slot,
+    )
+    new_state = TrackState(
+        pose=pose, ref_kf=kf_slot, frame_idx=state.frame_idx + 1,
+        lost=jnp.array(False),
+    )
+    return arena, new_state, result
+
+
+def _track(
+    arena: MapArena, state: TrackState, feats: Features, cam: Camera,
+    cfg: SlamConfig, time: Array, key: Array,
+) -> Tuple[MapArena, TrackState, TrackResult]:
+    kps = feats.keypoints
+    desc = feats.descriptors.unpacked
+    tcfg = cfg.tracker
+
+    # --- candidate landmarks: 2-hop covisibility of the reference KF ------
+    kf_mask = khop_keyframes(arena, state.ref_kf, tcfg.covis_depth_tracking)
+    lm_mask = visible_landmarks(arena, kf_mask)
+
+    # --- 2-NN ratio matching against landmark descriptors -----------------
+    matches = match_descriptors(
+        desc, kps.valid, arena.lm_desc, lm_mask, cfg.matcher
+    )
+    matches = dedupe_matches(matches, arena.max_landmarks)
+
+    has_depth = kps.depth > 0.0
+    m_ok = matches.valid & has_depth
+    n_matches = jnp.sum(m_ok.astype(jnp.int32))
+
+    # --- PnP ---------------------------------------------------------------
+    pts_world = arena.lm_pos[matches.lm_slot]
+    pts_cam = backproject(cam, kps.uv, kps.depth)
+    pnp = ransac_pnp(
+        cam, pts_world, kps.uv, pts_cam, m_ok, state.pose, key, cfg.pnp
+    )
+
+    enough = n_matches >= tcfg.min_matched_points
+    ok = enough & pnp.ok
+    pose = Pose(
+        q=jnp.where(ok, pnp.pose.q, state.pose.q),
+        t=jnp.where(ok, pnp.pose.t, state.pose.t),
+    )
+    n_inliers = jnp.where(ok, pnp.n_inliers, 0)
+
+    # --- keyframe policy ---------------------------------------------------
+    need_kf = ok & (n_inliers < tcfg.new_keyframe_min_inliers)
+
+    def with_new_keyframe(arena):
+        arena, kf_slot = add_keyframe(arena, pose, time)
+        # observations of inlier-matched landmarks from the new keyframe
+        arena = add_observations(
+            arena, kf_slot, matches.lm_slot, kps.uv, kps.depth, desc,
+            pnp.inliers,
+        )
+        # new landmarks from unmatched keypoints with near depth
+        unmatched = (
+            kps.valid
+            & ~matches.valid
+            & (kps.depth > 0.0)
+            & (kps.depth <= tcfg.new_landmark_max_depth)
+        )
+        pts_w_new = pose_apply(pose, pts_cam)
+        arena, lm_slots = add_landmarks(arena, pts_w_new, desc, unmatched)
+        arena = add_observations(
+            arena, kf_slot, lm_slots, kps.uv, kps.depth, desc, unmatched
+        )
+        return arena, kf_slot
+
+    def without_new_keyframe(arena):
+        # better-reference search: visibility voting over 5 hops
+        hop5 = khop_keyframes(arena, state.ref_kf, tcfg.covis_depth_better_kf)
+        inlier_lm = jnp.zeros(arena.max_landmarks, bool).at[
+            jnp.where(pnp.inliers, matches.lm_slot, arena.max_landmarks)
+        ].set(True, mode="drop")
+        votes = arena.inc.astype(jnp.int32) @ inlier_lm.astype(jnp.int32)
+        votes = jnp.where(hop5 & arena.kf_valid, votes, -1)
+        best = jnp.argmax(votes).astype(jnp.int32)
+        ref = jnp.where(votes[best] > 0, best, state.ref_kf)
+        return arena, ref
+
+    arena, kf_or_ref = lax.cond(
+        need_kf, with_new_keyframe, without_new_keyframe, arena
+    )
+    ref_kf = jnp.where(ok, kf_or_ref, state.ref_kf)
+
+    result = TrackResult(
+        pose=pose,
+        n_matches=n_matches,
+        n_inliers=n_inliers,
+        tracking_ok=ok,
+        new_keyframe=need_kf,
+        kf_slot=jnp.where(need_kf, kf_or_ref, jnp.int32(-1)),
+    )
+    new_state = TrackState(
+        pose=pose,
+        ref_kf=ref_kf,
+        frame_idx=state.frame_idx + 1,
+        lost=~ok,
+    )
+    return arena, new_state, result
+
+
+def track_frame(
+    arena: MapArena,
+    state: TrackState,
+    feats: Features,
+    cam: Camera,
+    cfg: SlamConfig,
+    time: Array,
+    key: Array,
+) -> Tuple[MapArena, TrackState, TrackResult]:
+    """One frontend step: bootstrap on the first frame, track afterwards."""
+    return lax.cond(
+        arena.n_kf == 0,
+        lambda a: _bootstrap(a, state, feats, cam, cfg, time),
+        lambda a: _track(a, state, feats, cam, cfg, time, key),
+        arena,
+    )

@@ -1,0 +1,102 @@
+"""Headless CLI runner — the reference's RgbdSlam app
+(/root/reference/src/app/slam/rgbd_slam.cpp) rebuilt: run SLAM over a
+TUM-format dataset, stream the trajectory to disk, report stats.
+
+    python -m modular_slam_tpu.run --dataset /path/to/tum_seq \
+        --out traj.txt [--format tum|kitti] [--max-frames N] [--no-ba] \
+        [--ate]  # score against dataset groundtruth.txt if present
+
+Unlike the reference CLI (which loops forever ignoring NoDataAvailable,
+rgbd_slam.cpp:87-91 — bug #13), this exits when the dataset ends.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time as _time
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description="TPU-native RGB-D SLAM runner")
+    ap.add_argument("--dataset", required=True, help="TUM-format sequence dir")
+    ap.add_argument("--out", default=None, help="trajectory output path")
+    ap.add_argument("--format", choices=["tum", "kitti"], default="tum")
+    ap.add_argument("--max-frames", type=int, default=None)
+    ap.add_argument("--no-ba", action="store_true", help="disable backend BA")
+    ap.add_argument("--ate", action="store_true",
+                    help="report ATE vs groundtruth.txt")
+    ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args(argv)
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from modular_slam_tpu.config import SlamConfig
+    from modular_slam_tpu.engine import SlamSystem, SlamResult
+    from modular_slam_tpu.io import (
+        TumRgbdDataset, TumTrajectoryWriter, KittiTrajectoryWriter,
+    )
+
+    ds = TumRgbdDataset(args.dataset)
+    print(f"dataset: {len(ds)} frames", file=sys.stderr)
+
+    system = SlamSystem(SlamConfig(), seed=args.seed,
+                        enable_backend=not args.no_ba)
+
+    writer = None
+    if args.out:
+        cls = TumTrajectoryWriter if args.format == "tum" else KittiTrajectoryWriter
+        writer = cls(args.out)
+
+    n_ok = 0
+    t0 = _time.perf_counter()
+    for i, (rgb, depth, ts) in enumerate(ds):
+        if args.max_frames is not None and i >= args.max_frames:
+            break
+        res = system.process(rgb, depth, ts)
+        if res == SlamResult.SUCCESS:
+            n_ok += 1
+        if writer is not None:
+            writer.write(ts, system.trajectory[-1][1])
+        if (i + 1) % 50 == 0:
+            st = system.stats()
+            print(f"[{i+1}] kf={st['keyframes']} lm={st['landmarks']} "
+                  f"inl={st['last_n_inliers']}", file=sys.stderr)
+    elapsed = _time.perf_counter() - t0
+    if writer is not None:
+        writer.close()
+
+    n = len(system.trajectory)
+    stats = system.stats()
+    report = {
+        "frames": n,
+        "tracked_ok": n_ok,
+        "keyframes": stats["keyframes"],
+        "landmarks": stats["landmarks"],
+        "fps": n / elapsed if elapsed > 0 else 0.0,
+        "wall_s": elapsed,
+    }
+
+    if args.ate and ds.groundtruth is not None and args.out \
+            and args.format == "tum":
+        import numpy as np
+        from modular_slam_tpu.eval.ate import ate_rmse
+        from modular_slam_tpu.io import read_tum_trajectory
+
+        est = read_tum_trajectory(args.out)
+        try:
+            report["ate"] = ate_rmse(est, ds.groundtruth)
+        except ValueError as e:
+            report["ate_error"] = str(e)
+
+    print(json.dumps(report))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,117 @@
+"""End-to-end odometry on synthetic sequences with exact ground truth, and
+on the bundled reference 2-frame sample (BASELINE config 1)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from modular_slam_tpu.config import SlamConfig, CameraConfig, DetectorConfig, MapConfig, PnpConfig
+from modular_slam_tpu.engine import SlamSystem, SlamResult
+from modular_slam_tpu.eval.synthetic import PlaneSceneGenerator
+from modular_slam_tpu.eval.ate import ate_rmse
+from modular_slam_tpu.io import TumRgbdDataset
+
+
+def _small_cfg():
+    return SlamConfig(
+        camera=CameraConfig(fx=320.0, fy=320.0, cx=159.5, cy=119.5,
+                            width=320, height=240),
+        detector=DetectorConfig(n_levels=4, max_keypoints=384),
+        map=MapConfig(max_keyframes=32, max_landmarks=4096,
+                      max_observations=16384),
+        pnp=PnpConfig(n_hypotheses=64),
+    )
+
+
+def _traj_arrays(system, poses_gt):
+    est = np.array([
+        [ts, float(p.t[0]), float(p.t[1]), float(p.t[2]),
+         float(p.q[1]), float(p.q[2]), float(p.q[3]), float(p.q[0])]
+        for ts, p in system.trajectory
+    ])
+    gt = np.array([
+        [k / 30.0, float(p.t[0]), float(p.t[1]), float(p.t[2]),
+         float(p.q[1]), float(p.q[2]), float(p.q[3]), float(p.q[0])]
+        for k, p in enumerate(poses_gt)
+    ])
+    return est, gt
+
+
+def test_translation_sequence_tracks():
+    cfg = _small_cfg()
+    gen = PlaneSceneGenerator(cfg.camera, seed=1)
+    poses = gen.trajectory(8, step_t=(0.02, 0.0, 0.0))
+    sys_ = SlamSystem(cfg, enable_backend=False)
+    for rgb, depth, ts in gen.sequence(poses):
+        res = sys_.process(rgb, depth, ts)
+        assert res == SlamResult.SUCCESS
+
+    est, gt = _traj_arrays(sys_, poses)
+    # raw (unaligned) endpoint error: camera moved 0.14m in x
+    end_t = est[-1, 1:4]
+    np.testing.assert_allclose(end_t, gt[-1, 1:4], atol=0.01)
+    stats = ate_rmse(est, gt)
+    assert stats["rmse"] < 0.01, stats
+
+
+def test_rotation_and_translation_sequence():
+    cfg = _small_cfg()
+    gen = PlaneSceneGenerator(cfg.camera, seed=2)
+    poses = gen.trajectory(10, step_t=(0.015, 0.005, -0.004),
+                           step_rot=(0.002, 0.006, 0.004))
+    sys_ = SlamSystem(cfg, enable_backend=False)
+    for rgb, depth, ts in gen.sequence(poses):
+        assert sys_.process(rgb, depth, ts) == SlamResult.SUCCESS
+    est, gt = _traj_arrays(sys_, poses)
+    stats = ate_rmse(est, gt)
+    assert stats["rmse"] < 0.01, stats
+
+
+def test_keyframes_created_on_motion():
+    cfg = _small_cfg()
+    gen = PlaneSceneGenerator(cfg.camera, seed=3)
+    # big steps force feature turnover -> new keyframes
+    poses = gen.trajectory(10, step_t=(0.22, 0.0, 0.0))
+    sys_ = SlamSystem(cfg, enable_backend=False)
+    ok = 0
+    for rgb, depth, ts in gen.sequence(poses):
+        if sys_.process(rgb, depth, ts) == SlamResult.SUCCESS:
+            ok += 1
+    assert ok >= 7
+    assert sys_.n_keyframes >= 2, "large motion should add keyframes"
+    assert sys_.n_landmarks > 300
+    stats = sys_.stats()
+    assert stats["observations"] > stats["landmarks"] * 0.9
+
+
+def test_bundled_reference_sequence():
+    """BASELINE config 1: the reference's own 2-frame mini-sequence."""
+    ds = TumRgbdDataset("/root/reference/data")
+    sys_ = SlamSystem(SlamConfig(), enable_backend=False)
+    results = [sys_.process(rgb, depth, ts) for rgb, depth, ts in ds]
+    assert results[0] == SlamResult.SUCCESS
+    assert results[1] == SlamResult.SUCCESS
+    # consecutive near-identical frames: pose stays near identity
+    _, pose = sys_.trajectory[-1]
+    assert float(jnp.linalg.norm(pose.t)) < 0.05
+    assert sys_.stats()["last_n_inliers"] > 100
+
+
+def test_tracking_lost_on_garbage_frame():
+    cfg = _small_cfg()
+    gen = PlaneSceneGenerator(cfg.camera, seed=4)
+    poses = gen.trajectory(3, step_t=(0.02, 0.0, 0.0))
+    frames = list(gen.sequence(poses))
+    sys_ = SlamSystem(cfg, enable_backend=False)
+    assert sys_.process(*frames[0]) == SlamResult.SUCCESS
+    # feed an unrelated random frame -> no constraints, pose held
+    rng = np.random.default_rng(0)
+    junk_rgb = rng.integers(0, 255, size=frames[0][0].shape).astype(np.uint8)
+    junk_depth = np.zeros(frames[0][1].shape, np.float32)
+    res = sys_.process(junk_rgb, junk_depth, 99.0)
+    assert res == SlamResult.NO_CONSTRAINTS
+    _, pose = sys_.trajectory[-1]
+    assert float(jnp.linalg.norm(pose.t)) < 1e-6  # held at last good pose
+    # recovery on the next good frame (scene matches the map again)
+    res2 = sys_.process(*frames[1])
+    assert res2 == SlamResult.SUCCESS
