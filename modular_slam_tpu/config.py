@@ -134,6 +134,7 @@ class BackendConfig:
     """
 
     max_iterations: int = 20
+    cg_iters: int = 40           # PCG iterations per LM step (static)
     local_window_depth: int = 1
     outlier_threshold_m: float = 0.15
     init_lambda: float = 1e-4

@@ -1,0 +1,166 @@
+"""Bundle adjustment: synthetic multi-view problems with known optimum."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from modular_slam_tpu.config import SlamConfig, CameraConfig, MapConfig, BackendConfig
+from modular_slam_tpu.geometry import (
+    camera_from_config, backproject, project, Pose, quat_from_axis_angle,
+    pose_apply, pose_apply_inverse, identity_pose,
+)
+from modular_slam_tpu.map import (
+    empty_arena, add_keyframe, add_landmarks, add_observations,
+)
+from modular_slam_tpu.backend.ba import ba_solve, make_global_ba
+from modular_slam_tpu.types import bits_to_pm1
+
+RNG = np.random.default_rng(21)
+CAM_CFG = CameraConfig(fx=300.0, fy=300.0, cx=159.5, cy=119.5,
+                       width=320, height=240)
+
+
+def _build_problem(n_kf=5, n_lm=120, pose_noise=0.02, lm_noise=0.02,
+                   px_noise=0.0, depth_noise=0.0, seed=0):
+    """Ground-truth scene + noisy arena.  Observations are exact
+    projections of GT; initial poses/landmarks are perturbed."""
+    rng = np.random.default_rng(seed)
+    cam = camera_from_config(CAM_CFG)
+    mcfg = MapConfig(max_keyframes=16, max_landmarks=256,
+                     max_observations=2048, descriptor_bits=16)
+
+    # GT poses along x with small rotations
+    gt_poses = []
+    for k in range(n_kf):
+        q = quat_from_axis_angle(jnp.asarray(
+            rng.normal(size=3).astype(np.float32) * 0.01))
+        t = jnp.asarray(np.array([0.05 * k, 0, 0], np.float32)
+                        + rng.normal(size=3).astype(np.float32) * 0.01)
+        gt_poses.append(Pose(q=q, t=t))
+
+    # GT landmarks in front of the cameras
+    lm_gt = np.stack([
+        rng.uniform(-0.8, 0.8 + 0.05 * n_kf, n_lm),
+        rng.uniform(-0.6, 0.6, n_lm),
+        rng.uniform(1.5, 3.0, n_lm),
+    ], axis=1).astype(np.float32)
+
+    arena = empty_arena(mcfg)
+
+    # noisy initializations
+    noisy_poses = []
+    for k, p in enumerate(gt_poses):
+        if k == 0:
+            noisy_poses.append(p)  # gauge anchor stays at GT
+            continue
+        dq = quat_from_axis_angle(jnp.asarray(
+            rng.normal(size=3).astype(np.float32) * pose_noise))
+        from modular_slam_tpu.geometry.se3 import quat_multiply, quat_normalize
+        noisy_poses.append(Pose(
+            q=quat_normalize(quat_multiply(p.q, dq)),
+            t=p.t + jnp.asarray(rng.normal(size=3).astype(np.float32) * pose_noise),
+        ))
+
+    for k, p in enumerate(noisy_poses):
+        arena, _ = add_keyframe(arena, p, jnp.float32(k))
+
+    lm_init = lm_gt + rng.normal(size=lm_gt.shape).astype(np.float32) * lm_noise
+    desc = jnp.asarray(rng.choice([-1, 1], size=(n_lm, 16)).astype(np.int8))
+    arena, lm_slots = add_landmarks(arena, jnp.asarray(lm_init), desc,
+                                    jnp.ones(n_lm, bool))
+
+    # exact observations from GT
+    for k, p in enumerate(gt_poses):
+        pc = np.asarray(pose_apply_inverse(p, jnp.asarray(lm_gt)))
+        uv = np.asarray(project(cam, jnp.asarray(pc)))
+        vis = ((uv[:, 0] >= 5) & (uv[:, 0] < 315) & (uv[:, 1] >= 5)
+               & (uv[:, 1] < 235) & (pc[:, 2] > 0.1))
+        uv_obs = uv + rng.normal(size=uv.shape).astype(np.float32) * px_noise
+        d_obs = pc[:, 2] * (1 + rng.normal(size=n_lm).astype(np.float32)
+                            * depth_noise)
+        arena = add_observations(
+            arena, jnp.int32(k), lm_slots, jnp.asarray(uv_obs),
+            jnp.asarray(d_obs), desc, jnp.asarray(vis))
+
+    return cam, arena, gt_poses, lm_gt
+
+
+def _pose_errors(arena, gt_poses):
+    dts, drs = [], []
+    for k, p in enumerate(gt_poses):
+        dt = float(jnp.linalg.norm(arena.kf_t[k] - p.t))
+        dq = float(jnp.abs(jnp.sum(arena.kf_q[k] * p.q)))
+        dts.append(dt)
+        drs.append(np.degrees(2 * np.arccos(min(dq, 1.0))))
+    return np.array(dts), np.array(drs)
+
+
+def test_global_ba_recovers_ground_truth():
+    cam, arena, gt_poses, lm_gt = _build_problem()
+    dt0, dr0 = _pose_errors(arena, gt_poses)
+    assert dt0.max() > 5e-3  # actually perturbed
+
+    cfg = SlamConfig(camera=CAM_CFG,
+                     backend=BackendConfig(max_iterations=15))
+    gba = make_global_ba(cfg)
+    arena2, stats = gba(arena)
+
+    assert float(stats.final_cost) < float(stats.initial_cost) * 0.01
+    dt1, dr1 = _pose_errors(arena2, gt_poses)
+    assert dt1.max() < 2e-3, (dt0, dt1)
+    assert dr1.max() < 0.2
+    lm_err = np.linalg.norm(np.array(arena2.lm_pos[:120]) - lm_gt, axis=1)
+    # only landmarks with >= 2 observations are well-constrained; check bulk
+    assert np.median(lm_err) < 2e-3
+
+
+def test_ba_respects_gauge():
+    cam, arena, gt_poses, _ = _build_problem(seed=1)
+    cfg = SlamConfig(camera=CAM_CFG,
+                     backend=BackendConfig(max_iterations=10))
+    q0, t0 = np.array(arena.kf_q[0]), np.array(arena.kf_t[0])  # pre-donation
+    arena2, _ = make_global_ba(cfg)(arena)
+    # keyframe 0 untouched (gauge anchor)
+    np.testing.assert_allclose(np.array(arena2.kf_q[0]), q0, atol=1e-7)
+    np.testing.assert_allclose(np.array(arena2.kf_t[0]), t0, atol=1e-7)
+
+
+def test_ba_with_noise_and_outliers():
+    cam, arena, gt_poses, lm_gt = _build_problem(
+        px_noise=0.3, depth_noise=0.002, seed=2)
+    # corrupt some observations hard (simulate bad matches)
+    n = int(arena.n_obs)
+    bad_rows = np.arange(0, n, 17)
+    depth = np.array(arena.obs_depth)
+    depth[bad_rows] *= 1.5
+    arena = arena._replace(obs_depth=jnp.asarray(depth))
+
+    cfg = SlamConfig(camera=CAM_CFG,
+                     backend=BackendConfig(max_iterations=15))
+    gba = make_global_ba(cfg)
+    arena2, stats = gba(arena)
+    # the corrupted observations should be classified as outliers
+    assert int(stats.n_outliers) >= len(bad_rows) * 0.7
+    ov = np.array(arena2.obs_valid)
+    assert not ov[bad_rows].all()
+    # second pass without the flagged outliers tightens the solution
+    arena3, _ = gba(arena2)
+    dt1, dr1 = _pose_errors(arena3, gt_poses)
+    assert dt1.max() < 8e-3, dt1
+
+
+def test_local_ba_window_only_moves_window():
+    from modular_slam_tpu.backend.ba import make_local_ba
+    cam, arena, gt_poses, _ = _build_problem(seed=3)
+    cfg = SlamConfig(camera=CAM_CFG,
+                     backend=BackendConfig(max_iterations=5))
+    from modular_slam_tpu.frontend.tracker import initial_state
+    state = initial_state()
+    t0 = np.array(arena.kf_t[0])  # before donation
+    lba = make_local_ba(cfg)
+    arena2, state2 = lba(arena, state, jnp.int32(4))
+    # all kfs covisible here, so window = all; kf0 stays (gauge)
+    np.testing.assert_allclose(np.array(arena2.kf_t[0]), t0, atol=1e-7)
+    # state pose updated to kf4's optimized pose
+    np.testing.assert_allclose(np.array(state2.pose.t),
+                               np.array(arena2.kf_t[4]), atol=1e-7)
