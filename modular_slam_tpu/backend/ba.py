@@ -100,8 +100,16 @@ def ba_core(
     lm_free: Array,                     # [L] bool
     cfg,                                # BackendConfig
     residual_type: str = "p2p",
+    allreduce: Callable[[Array], Array] = lambda x: x,
 ) -> Tuple[Array, Array, Array, BAStats]:
-    """Run LM; returns (kf_q_wc, kf_t_wc, lm_pos, stats)."""
+    """Run LM; returns (kf_q_wc, kf_t_wc, lm_pos, stats).
+
+    `allreduce` is applied to every observation-reduction (the segment
+    sums and scalar costs).  With the identity it is the single-device
+    path; under shard_map with `lambda x: lax.psum(x, "obs")` the same
+    code runs with observations sharded across a mesh axis — the
+    distributed Schur-complement reduction of the north star.
+    """
     K = kf_q_wc.shape[0]
     L = lm_pos.shape[0]
 
@@ -118,7 +126,7 @@ def ba_core(
 
     def cost_of(q_cw, t_cw, lm):
         r, _, _ = residuals(q_cw, t_cw, lm)
-        return _huber_cost(r, cfg.huber_delta, obs.w)
+        return allreduce(_huber_cost(r, cfg.huber_delta, obs.w))
 
     def lm_step(carry, _):
         q_cw, t_cw, lm, lam, cost = carry
@@ -130,20 +138,20 @@ def ba_core(
         Jl = Jl * lf_obs[:, None, None]
 
         wJp = Jp * w[:, None, None]
-        U = segment_sum(
+        U = allreduce(segment_sum(
             jnp.einsum("oki,okj->oij", wJp, Jp), obs.kf, num_segments=K
-        )  # [K,6,6]
-        V = segment_sum(
+        ))  # [K,6,6]
+        V = allreduce(segment_sum(
             jnp.einsum("oki,okj->oij", Jl * w[:, None, None], Jl),
             obs.lm, num_segments=L,
-        )  # [L,3,3]
-        b_p = -segment_sum(
+        ))  # [L,3,3]
+        b_p = -allreduce(segment_sum(
             jnp.einsum("oki,ok->oi", wJp, r), obs.kf, num_segments=K
-        )  # [K,6]
-        b_l = -segment_sum(
+        ))  # [K,6]
+        b_l = -allreduce(segment_sum(
             jnp.einsum("oki,ok->oi", Jl * w[:, None, None], r),
             obs.lm, num_segments=L,
-        )  # [L,3]
+        ))  # [L,3]
 
         eyeK = jnp.eye(6)
         eyeL = jnp.eye(3)
@@ -155,23 +163,23 @@ def ba_core(
             x = x_flat.reshape(K, 6)
             ux = jnp.einsum("kij,kj->ki", Ud, x)
             a = jnp.einsum("oki,oi->ok", Jp, x[obs.kf])          # [O,d]
-            zb = segment_sum(
+            zb = allreduce(segment_sum(
                 jnp.einsum("oki,ok->oi", Jl * w[:, None, None], a),
                 obs.lm, num_segments=L,
-            )                                                    # [L,3]
+            ))                                                   # [L,3]
             y = jnp.einsum("lij,lj->li", Vinv, zb)
             c = jnp.einsum("oki,oi->ok", Jl, y[obs.lm])          # [O,d]
-            wx = segment_sum(
+            wx = allreduce(segment_sum(
                 jnp.einsum("oki,ok->oi", wJp, c), obs.kf, num_segments=K
-            )                                                    # [K,6]
+            ))                                                   # [K,6]
             return (ux - wx).reshape(-1)
 
         # rhs = b_p - W Vinv b_l
         y0 = jnp.einsum("lij,lj->li", Vinv, b_l)
         c0 = jnp.einsum("oki,oi->ok", Jl, y0[obs.lm])
-        rhs = b_p - segment_sum(
+        rhs = b_p - allreduce(segment_sum(
             jnp.einsum("oki,ok->oi", wJp, c0), obs.kf, num_segments=K
-        )
+        ))
 
         Uinv = jnp.linalg.inv(Ud + 1e-6 * eyeK)
 
@@ -184,10 +192,10 @@ def ba_core(
 
         # back-substitute landmarks
         a2 = jnp.einsum("oki,oi->ok", Jp, dp[obs.kf])
-        z2 = segment_sum(
+        z2 = allreduce(segment_sum(
             jnp.einsum("oki,ok->oi", Jl * w[:, None, None], a2),
             obs.lm, num_segments=L,
-        )
+        ))
         dl = jnp.einsum("lij,lj->li", Vinv, b_l - z2) * lm_free[:, None]
 
         # tentative update
@@ -218,7 +226,7 @@ def ba_core(
     stats = BAStats(
         initial_cost=cost0,
         final_cost=cost_end,
-        n_active_obs=jnp.sum((obs.w > 0).astype(jnp.int32)),
+        n_active_obs=allreduce(jnp.sum((obs.w > 0).astype(jnp.int32))),
         n_outliers=jnp.int32(0),
         cg_residual=cg_hist[-1],
     )

@@ -1,0 +1,3 @@
+from modular_slam_tpu.parallel.mesh import make_mesh, obs_sharded_specs  # noqa: F401
+from modular_slam_tpu.parallel.sharded_ba import make_sharded_global_ba  # noqa: F401
+from modular_slam_tpu.parallel.dp import make_batch_slam_step  # noqa: F401
