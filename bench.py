@@ -66,13 +66,13 @@ def bench_ours(cfg, frames) -> float:
     results = []
     for i, (gray, depth, ts) in enumerate(device_frames[:WARMUP]):
         key, sub = jax.random.split(key)
-        arena, state, res = step(arena, state, gray, depth, ts, sub)
+        arena, state, res, _ = step(arena, state, gray, depth, ts, sub)
     jax.block_until_ready(state)
 
     t0 = time.perf_counter()
     for gray, depth, ts in device_frames[WARMUP:]:
         key, sub = jax.random.split(key)
-        arena, state, res = step(arena, state, gray, depth, ts, sub)
+        arena, state, res, _ = step(arena, state, gray, depth, ts, sub)
         results.append(res)
     jax.block_until_ready(state)
     dt = time.perf_counter() - t0

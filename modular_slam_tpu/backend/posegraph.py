@@ -1,0 +1,175 @@
+"""Pose-graph optimization (Gauss-Newton on SE(3) relative-pose edges).
+
+The loop-closure backend the reference never built (its global-BA trigger
+expects a loop detection that cannot happen, ceres_backend.cpp:130-133).
+
+Formulation: nodes are keyframe poses T_i (camera-to-world); an edge
+(i, j) carries a measured relative transform Z_ij; the residual is
+r_e = log(Z_ij^-1 * T_i^-1 * T_j) in se(3), minimized by damped GN with
+per-node right-multiplicative retractions T <- T * exp(xi).  Jacobians
+come from jax.jacfwd of the per-edge residual (exact, vmapped), the
+normal equations are assembled by scatter-add into a dense [6K, 6K]
+system (K <= 256 keyframes -> a trivial Cholesky on the MXU), gauge fixed
+at node 0.  Fixed-capacity edge arrays with validity masks keep
+everything static-shape.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from modular_slam_tpu.geometry.se3 import (
+    Pose,
+    pose_compose,
+    pose_inverse,
+    pose_retract,
+    quat_normalize,
+    se3_log,
+)
+
+Array = jnp.ndarray
+
+
+class PoseGraphEdges(NamedTuple):
+    i: Array       # [E] int32 source node
+    j: Array       # [E] int32 target node
+    rel_q: Array   # [E, 4] measured T_i^-1 T_j rotation (wxyz)
+    rel_t: Array   # [E, 3]
+    weight: Array  # [E] float32 (0 = inactive; loop edges may be down/up
+    #              weighted vs odometry edges)
+
+
+def empty_edges(capacity: int) -> PoseGraphEdges:
+    return PoseGraphEdges(
+        i=jnp.zeros((capacity,), jnp.int32),
+        j=jnp.zeros((capacity,), jnp.int32),
+        rel_q=jnp.zeros((capacity, 4), jnp.float32).at[:, 0].set(1.0),
+        rel_t=jnp.zeros((capacity, 3), jnp.float32),
+        weight=jnp.zeros((capacity,), jnp.float32),
+    )
+
+
+def add_edge(edges: PoseGraphEdges, slot: Array, i: Array, j: Array,
+             rel: Pose, weight: float = 1.0) -> PoseGraphEdges:
+    return PoseGraphEdges(
+        i=edges.i.at[slot].set(i, mode="drop"),
+        j=edges.j.at[slot].set(j, mode="drop"),
+        rel_q=edges.rel_q.at[slot].set(rel.q, mode="drop"),
+        rel_t=edges.rel_t.at[slot].set(rel.t, mode="drop"),
+        weight=edges.weight.at[slot].set(weight, mode="drop"),
+    )
+
+
+def _edge_residual(qi, ti, qj, tj, rq, rt, xi_i, xi_j):
+    """Residual for one edge with local deltas applied."""
+    Ti = pose_retract(Pose(q=qi, t=ti), xi_i)
+    Tj = pose_retract(Pose(q=qj, t=tj), xi_j)
+    Z = Pose(q=rq, t=rt)
+    err = pose_compose(pose_inverse(Z), pose_compose(pose_inverse(Ti), Tj))
+    return se3_log(err)
+
+
+def optimize_pose_graph(
+    kf_q: Array, kf_t: Array, kf_valid: Array,
+    edges: PoseGraphEdges,
+    iters: int = 20,
+    damping: float = 1e-6,
+) -> Tuple[Array, Array, Array]:
+    """-> (kf_q, kf_t, final_cost).  Node 0 is the gauge anchor."""
+    K = kf_q.shape[0]
+    free = kf_valid & (jnp.arange(K) != 0)
+
+    zero6 = jnp.zeros(6)
+
+    res_fn = lambda qi, ti, qj, tj, rq, rt, xi, xj: _edge_residual(
+        qi, ti, qj, tj, rq, rt, xi, xj)
+    Ji_fn = jax.vmap(jax.jacfwd(res_fn, argnums=6),
+                     in_axes=(0, 0, 0, 0, 0, 0, None, None))
+    Jj_fn = jax.vmap(jax.jacfwd(res_fn, argnums=7),
+                     in_axes=(0, 0, 0, 0, 0, 0, None, None))
+    r_fn = jax.vmap(res_fn, in_axes=(0, 0, 0, 0, 0, 0, None, None))
+
+    def gn_step(carry, _):
+        q, t, cost_prev = carry
+        qi, ti = q[edges.i], t[edges.i]
+        qj, tj = q[edges.j], t[edges.j]
+
+        r = r_fn(qi, ti, qj, tj, edges.rel_q, edges.rel_t, zero6, zero6)
+        Ji = Ji_fn(qi, ti, qj, tj, edges.rel_q, edges.rel_t, zero6, zero6)
+        Jj = Jj_fn(qi, ti, qj, tj, edges.rel_q, edges.rel_t, zero6, zero6)
+
+        w = edges.weight
+        # mask fixed nodes' jacobians
+        Ji = Ji * free[edges.i][:, None, None]
+        Jj = Jj * free[edges.j][:, None, None]
+
+        wJi = Ji * w[:, None, None]
+        wJj = Jj * w[:, None, None]
+
+        # dense normal equations via scatter-add of 6x6 blocks
+        H = jnp.zeros((K, 6, K, 6))
+        b = jnp.zeros((K, 6))
+
+        Hii = jnp.einsum("eki,ekj->eij", wJi, Ji)
+        Hjj = jnp.einsum("eki,ekj->eij", wJj, Jj)
+        Hij = jnp.einsum("eki,ekj->eij", wJi, Jj)
+
+        H = H.at[edges.i, :, edges.i, :].add(Hii)
+        H = H.at[edges.j, :, edges.j, :].add(Hjj)
+        H = H.at[edges.i, :, edges.j, :].add(Hij)
+        H = H.at[edges.j, :, edges.i, :].add(
+            jnp.swapaxes(Hij, -1, -2))
+
+        b = b.at[edges.i].add(-jnp.einsum("eki,ek->ei", wJi, r))
+        b = b.at[edges.j].add(-jnp.einsum("eki,ek->ei", wJj, r))
+
+        Hd = H.reshape(K * 6, K * 6)
+        # anchor rows/cols of fixed nodes
+        fixed_mask = jnp.repeat(~free, 6)
+        Hd = jnp.where(fixed_mask[:, None] | fixed_mask[None, :],
+                       0.0, Hd)
+        Hd = Hd + jnp.diag(jnp.where(fixed_mask, 1.0, damping))
+
+        dx = jnp.linalg.solve(Hd, b.reshape(-1)).reshape(K, 6)
+        dx = dx * free[:, None]
+
+        new = pose_retract(Pose(q=q, t=t), dx)
+        q_new = quat_normalize(new.q)
+        t_new = new.t
+
+        r_new = r_fn(q_new[edges.i], t_new[edges.i], q_new[edges.j],
+                     t_new[edges.j], edges.rel_q, edges.rel_t, zero6, zero6)
+        cost_new = jnp.sum(w * jnp.sum(r_new * r_new, axis=-1))
+        cost_old = jnp.sum(w * jnp.sum(r * r, axis=-1))
+        accept = cost_new < cost_old
+        q_out = jnp.where(accept, q_new, q)
+        t_out = jnp.where(accept, t_new, t)
+        return (q_out, t_out, jnp.where(accept, cost_new, cost_old)), None
+
+    r0 = r_fn(kf_q[edges.i], kf_t[edges.i], kf_q[edges.j], kf_t[edges.j],
+              edges.rel_q, edges.rel_t, zero6, zero6)
+    cost0 = jnp.sum(edges.weight * jnp.sum(r0 * r0, axis=-1))
+    (q, t, cost), _ = lax.scan(gn_step, (kf_q, kf_t, cost0), None,
+                               length=iters)
+    return q, t, cost
+
+
+def correct_landmarks(
+    lm_pos: Array, lm_valid: Array,
+    anchor_kf: Array,              # [L] int32 — anchor keyframe per landmark
+    old_q: Array, old_t: Array,    # poses before PGO
+    new_q: Array, new_t: Array,    # poses after PGO
+) -> Array:
+    """Move landmarks rigidly with their anchor keyframes:
+    l' = T_new * T_old^-1 * l (standard post-PGO map correction)."""
+    old = Pose(q=old_q[anchor_kf], t=old_t[anchor_kf])
+    new = Pose(q=new_q[anchor_kf], t=new_t[anchor_kf])
+    delta = pose_compose(new, pose_inverse(old))
+    from modular_slam_tpu.geometry.se3 import pose_apply
+
+    moved = pose_apply(delta, lm_pos)
+    return jnp.where(lm_valid[:, None], moved, lm_pos)

@@ -43,7 +43,10 @@ class SlamResult(enum.Enum):
 
 
 def make_slam_step(cfg: SlamConfig):
-    """Build the jitted engine step closed over the static config."""
+    """Build the jitted engine step closed over the static config.
+
+    Returns (arena, state, result, features) — features ride along so the
+    host can feed BoW loop detection without re-detecting."""
     cam = camera_from_config(cfg.camera)
 
     def slam_step(
@@ -53,9 +56,11 @@ def make_slam_step(cfg: SlamConfig):
         depth: Array,
         time: Array,
         key: Array,
-    ) -> Tuple[MapArena, TrackState, TrackResult]:
+    ):
         feats = detect(gray, depth, cfg.detector)
-        return track_frame(arena, state, feats, cam, cfg, time, key)
+        arena, state, result = track_frame(
+            arena, state, feats, cam, cfg, time, key)
+        return arena, state, result, feats
 
     return jax.jit(slam_step, donate_argnums=(0,))
 
@@ -70,7 +75,9 @@ class SlamSystem:
     signal parity)."""
 
     def __init__(self, cfg: Optional[SlamConfig] = None, seed: int = 0,
-                 enable_backend: bool = True, ba_every: int = 1):
+                 enable_backend: bool = True, ba_every: int = 1,
+                 enable_loop_closure: bool = False,
+                 enable_relocalization: bool = False):
         self.cfg = cfg or SlamConfig()
         self.cam: Camera = camera_from_config(self.cfg.camera)
         self.arena: MapArena = empty_arena(self.cfg.map)
@@ -84,6 +91,16 @@ class SlamSystem:
         self.ba_every = ba_every
         self._kf_since_ba = 0
         self._ba_fn = None  # built lazily on first use
+        # --- loop closure / relocalization machinery ---------------------
+        self.enable_loop_closure = enable_loop_closure
+        self.enable_relocalization = enable_relocalization
+        self._loop = None
+        self.n_loop_closures = 0
+        self.n_relocalizations = 0
+        if enable_loop_closure or enable_relocalization:
+            from modular_slam_tpu.loop.pipeline import LoopPipeline
+
+            self._loop = LoopPipeline(self.cfg)
 
     # -- observer hooks (signal parity with SlamBuilder decorators) --------
     def register_frame_observer(self, fn) -> None:
@@ -97,7 +114,7 @@ class SlamSystem:
 
         frame: RgbdFrame = frame_to_device(rgb, depth, timestamp)
         self._key, sub = jax.random.split(self._key)
-        self.arena, self.state, result = self._step(
+        self.arena, self.state, result, feats = self._step(
             self.arena, self.state, frame.gray, frame.depth,
             frame.timestamp, sub,
         )
@@ -105,16 +122,36 @@ class SlamSystem:
         pose = Pose(q=result.pose.q, t=result.pose.t)
         self.trajectory.append((timestamp, pose))
 
-        if self.enable_backend and bool(result.new_keyframe):
-            self._kf_since_ba += 1
-            if self._kf_since_ba >= self.ba_every:
-                self._run_local_ba(int(result.kf_slot))
-                self._kf_since_ba = 0
+        if bool(result.new_keyframe):
+            kf_slot = int(result.kf_slot)
+            if self._loop is not None:
+                self._key, sub = jax.random.split(self._key)
+                self.arena, self.state, closed = self._loop.on_new_keyframe(
+                    self.arena, self.state, kf_slot, feats, sub,
+                    run_loop_detection=self.enable_loop_closure,
+                )
+                if closed:
+                    self.n_loop_closures += 1
+            if self.enable_backend:
+                self._kf_since_ba += 1
+                if self._kf_since_ba >= self.ba_every:
+                    self._run_local_ba(kf_slot)
+                    self._kf_since_ba = 0
+
+        tracking_ok = bool(result.tracking_ok)
+        if (not tracking_ok and self.enable_relocalization
+                and self._loop is not None):
+            self._key, sub = jax.random.split(self._key)
+            new_state, ok = self._loop.relocalize(
+                self.arena, self.state, feats, sub)
+            if ok:
+                self.state = new_state
+                self.n_relocalizations += 1
 
         for fn in self._frame_observers:
             fn(timestamp, pose, result)
 
-        if not bool(result.tracking_ok):
+        if not tracking_ok:
             return SlamResult.NO_CONSTRAINTS
         return SlamResult.SUCCESS
 

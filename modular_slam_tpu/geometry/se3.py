@@ -143,13 +143,18 @@ def matrix_to_quat(m: Array) -> Array:
 
 
 def quat_from_axis_angle(axis_angle: Array) -> Array:
-    """so(3) vector [..., 3] -> quaternion, with small-angle safety."""
-    theta = jnp.linalg.norm(axis_angle, axis=-1, keepdims=True)
+    """so(3) vector [..., 3] -> quaternion.
+
+    Differentiable at exactly 0 (double-where pattern: the norm is never
+    evaluated with a zero argument on the taken path, so jacfwd/jacrev at
+    the identity produce the correct finite Jacobians — required by the
+    pose-graph optimizer, which linearizes at xi = 0)."""
+    theta2 = jnp.sum(axis_angle * axis_angle, axis=-1, keepdims=True)
+    small = theta2 < 1e-12
+    theta = jnp.sqrt(jnp.where(small, 1.0, theta2))  # safe sqrt operand
     half = 0.5 * theta
-    # sinc-based: sin(half)/theta, stable near 0
-    small = theta < 1e-6
-    k = jnp.where(small, 0.5 - theta * theta / 48.0, jnp.sin(half) / jnp.maximum(theta, _EPS))
-    w = jnp.cos(half)
+    k = jnp.where(small, 0.5 - theta2 / 48.0, jnp.sin(half) / theta)
+    w = jnp.where(small, 1.0 - theta2 / 8.0, jnp.cos(half))
     return quat_normalize(jnp.concatenate([w, k * axis_angle], axis=-1))
 
 
@@ -157,14 +162,17 @@ so3_exp = quat_from_axis_angle
 
 
 def so3_log(q: Array) -> Array:
-    """Quaternion -> so(3) vector (axis * angle), stable near identity."""
+    """Quaternion -> so(3) vector (axis * angle); differentiable at the
+    identity (double-where on the vector norm)."""
     q = quat_normalize(q)
     w = jnp.clip(q[..., :1], -1.0, 1.0)
     v = q[..., 1:]
-    vn = jnp.linalg.norm(v, axis=-1, keepdims=True)
+    vn2 = jnp.sum(v * v, axis=-1, keepdims=True)
+    small = vn2 < 1e-12
+    vn = jnp.sqrt(jnp.where(small, 1.0, vn2))
     theta = 2.0 * jnp.arctan2(vn, w)
-    small = vn < 1e-6
-    k = jnp.where(small, 2.0 / jnp.maximum(w, _EPS), theta / jnp.maximum(vn, _EPS))
+    # small: theta/vn -> 2/w * (1 - vn^2/(3w^2) + ...) ~= 2/w
+    k = jnp.where(small, 2.0 / jnp.maximum(w, _EPS), theta / vn)
     return k * v
 
 
@@ -181,17 +189,18 @@ def _skew(v: Array) -> Array:
 
 
 def se3_exp(xi: Array) -> Pose:
-    """se(3) vector [..., 6] (rho, phi) -> Pose.  V-matrix translation."""
+    """se(3) vector [..., 6] (rho, phi) -> Pose.  V-matrix translation.
+    Differentiable at xi = 0 (double-where on all norm-dependent terms)."""
     rho, phi = xi[..., :3], xi[..., 3:]
-    theta = jnp.linalg.norm(phi, axis=-1, keepdims=True)
+    th2 = jnp.sum(phi * phi, axis=-1, keepdims=True)
+    small = th2 < 1e-10
+    theta = jnp.sqrt(jnp.where(small, 1.0, th2))
     q = quat_from_axis_angle(phi)
 
-    th2 = theta * theta
-    small = theta < 1e-5
     a = jnp.where(small, 0.5 - th2 / 24.0,
-                  (1.0 - jnp.cos(theta)) / jnp.maximum(th2, _EPS))
+                  (1.0 - jnp.cos(theta)) / jnp.where(small, 1.0, th2))
     b = jnp.where(small, 1.0 / 6.0 - th2 / 120.0,
-                  (theta - jnp.sin(theta)) / jnp.maximum(th2 * theta, _EPS))
+                  (theta - jnp.sin(theta)) / jnp.where(small, 1.0, th2 * theta))
     K = _skew(phi)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=xi.dtype), K.shape)
     V = eye + a[..., None] * K + b[..., None] * (K @ K)
@@ -200,17 +209,19 @@ def se3_exp(xi: Array) -> Pose:
 
 
 def se3_log(pose: Pose) -> Array:
+    """Pose -> se(3) vector; differentiable at the identity."""
     phi = so3_log(pose.q)
-    theta = jnp.linalg.norm(phi, axis=-1, keepdims=True)
+    th2 = jnp.sum(phi * phi, axis=-1, keepdims=True)
+    small = th2 < 1e-10
+    theta = jnp.sqrt(jnp.where(small, 1.0, th2))
     K = _skew(phi)
-    th2 = theta * theta
-    small = theta < 1e-5
     # V^{-1} = I - K/2 + c * K^2
+    half = theta / 2.0
     cot_term = jnp.where(
         small,
         1.0 / 12.0 + th2 / 720.0,
-        (1.0 - theta * jnp.cos(theta / 2.0) /
-         jnp.maximum(2.0 * jnp.sin(theta / 2.0), _EPS)) / jnp.maximum(th2, _EPS),
+        (1.0 - half * jnp.cos(half) / jnp.where(small, 1.0, jnp.sin(half)))
+        / jnp.where(small, 1.0, th2),
     )
     eye = jnp.broadcast_to(jnp.eye(3, dtype=phi.dtype), K.shape)
     Vinv = eye - 0.5 * K + cot_term[..., None] * (K @ K)

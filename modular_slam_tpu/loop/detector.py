@@ -1,0 +1,109 @@
+"""Loop detection: BoW candidate retrieval + geometric verification.
+
+The reference declares ILoopDetector (loop_detection.hpp:10-15) but ships
+NO implementation and gates the call off (rgbd_feature_frontend.cpp:
+164-167) — this module builds the real thing (BASELINE config 3):
+
+1. every new keyframe's BoW vector is appended to a fixed-capacity
+   database aligned with the arena keyframe slots;
+2. candidate retrieval scores the query against the whole database in one
+   matvec, masking temporally adjacent keyframes (min_gap);
+3. geometric verification matches the current frame's descriptors
+   against the candidate keyframe's *observed landmarks* (incidence-mask
+   matching) and runs the batched RANSAC-PnP; enough inliers -> a loop
+   edge with the measured relative pose.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from modular_slam_tpu.config import SlamConfig
+from modular_slam_tpu.geometry.camera import Camera, backproject
+from modular_slam_tpu.geometry.se3 import Pose, pose_compose, pose_inverse
+from modular_slam_tpu.map.arena import MapArena
+from modular_slam_tpu.ops.match import dedupe_matches, match_descriptors
+from modular_slam_tpu.ops.pnp import ransac_pnp
+from modular_slam_tpu.types import Features
+
+Array = jnp.ndarray
+
+
+class LoopDatabase(NamedTuple):
+    """Keyframe BoW vectors, row-aligned with arena keyframe slots."""
+
+    hists: Array   # [K, V] float32, L2-normalized rows (0 when invalid)
+    valid: Array   # [K] bool
+
+
+def empty_database(max_keyframes: int, vocab_size: int) -> LoopDatabase:
+    return LoopDatabase(
+        hists=jnp.zeros((max_keyframes, vocab_size), jnp.float32),
+        valid=jnp.zeros((max_keyframes,), bool),
+    )
+
+
+def add_keyframe_bow(db: LoopDatabase, kf_slot: Array,
+                     hist: Array) -> LoopDatabase:
+    return LoopDatabase(
+        hists=db.hists.at[kf_slot].set(hist, mode="drop"),
+        valid=db.valid.at[kf_slot].set(True, mode="drop"),
+    )
+
+
+def query_candidates(
+    db: LoopDatabase, query_hist: Array, query_slot: Array,
+    min_gap: int, top_k: int,
+) -> Tuple[Array, Array]:
+    """-> (scores [top_k], slots [top_k]); cosine similarity, masked."""
+    scores = db.hists @ query_hist                      # [K]
+    K = scores.shape[0]
+    slots = jnp.arange(K)
+    ok = db.valid & (jnp.abs(slots - query_slot) >= min_gap)
+    scores = jnp.where(ok, scores, -1.0)
+    return jax.lax.top_k(scores, top_k)
+
+
+class LoopVerification(NamedTuple):
+    ok: Array          # bool — geometric verification passed
+    n_inliers: Array   # int32
+    pose: Array        # Pose of the *query camera* implied by the
+    # candidate's landmarks (world frame)
+
+
+def geometric_verify(
+    arena: MapArena,
+    cand_kf: Array,
+    feats: Features,
+    cam: Camera,
+    cfg: SlamConfig,
+    key: Array,
+) -> Tuple[Array, Array, Pose]:
+    """Match query features against the candidate keyframe's landmarks and
+    solve the pose.  -> (ok, n_inliers, query_pose)."""
+    kps = feats.keypoints
+    lm_mask = arena.inc[cand_kf] & arena.lm_valid
+    matches = match_descriptors(
+        feats.descriptors.unpacked, kps.valid, arena.lm_desc, lm_mask,
+        cfg.matcher,
+    )
+    matches = dedupe_matches(matches, arena.max_landmarks)
+    m_ok = matches.valid & (kps.depth > 0.0)
+
+    pts_world = arena.lm_pos[matches.lm_slot]
+    pts_cam = backproject(cam, kps.uv, kps.depth)
+    # cold start from the candidate keyframe's pose (same place revisited)
+    init = Pose(q=arena.kf_q[cand_kf], t=arena.kf_t[cand_kf])
+    pnp = ransac_pnp(cam, pts_world, kps.uv, pts_cam, m_ok, init, key,
+                     cfg.pnp)
+    ok = pnp.ok & (pnp.n_inliers >= cfg.loop.min_inliers)
+    return ok, pnp.n_inliers, pnp.pose
+
+
+def relative_pose(pose_from: Pose, pose_to: Pose) -> Pose:
+    """T_from^-1 * T_to — the edge measurement convention used by the
+    pose graph (backend/posegraph.py)."""
+    return pose_compose(pose_inverse(pose_from), pose_to)

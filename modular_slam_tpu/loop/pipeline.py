@@ -1,0 +1,156 @@
+"""Host-side loop-closure / relocalization orchestration.
+
+Runs at keyframe rate (not frame rate), so the host syncs here are off
+the tracking hot path: BoW database upkeep, odometry/loop edge
+bookkeeping, pose-graph optimization + rigid landmark correction, and
+relocalization after tracking loss.  All heavy math is jitted.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from modular_slam_tpu.backend.posegraph import (
+    PoseGraphEdges,
+    add_edge,
+    correct_landmarks,
+    empty_edges,
+    optimize_pose_graph,
+)
+from modular_slam_tpu.config import SlamConfig
+from modular_slam_tpu.frontend.tracker import TrackState
+from modular_slam_tpu.geometry.camera import camera_from_config
+from modular_slam_tpu.geometry.se3 import Pose
+from modular_slam_tpu.loop.detector import (
+    add_keyframe_bow,
+    empty_database,
+    geometric_verify,
+    query_candidates,
+    relative_pose,
+)
+from modular_slam_tpu.loop.relocalizer import make_relocalizer
+from modular_slam_tpu.loop.vocab import bow_histogram, make_vocab
+from modular_slam_tpu.map.arena import MapArena
+from modular_slam_tpu.types import Features
+
+Array = jnp.ndarray
+
+LOOP_EDGE_WEIGHT = 2.0
+
+
+class LoopPipeline:
+    def __init__(self, cfg: SlamConfig):
+        self.cfg = cfg
+        self.cam = camera_from_config(cfg.camera)
+        self._vocab = make_vocab(cfg.loop.vocab_size)
+        self.db = empty_database(cfg.map.max_keyframes, cfg.loop.vocab_size)
+        self.edges: PoseGraphEdges = empty_edges(4 * cfg.map.max_keyframes)
+        self._n_edges = 0
+        self._prev_kf: Optional[int] = None
+
+        vocab = self._vocab
+
+        @jax.jit
+        def _bow(desc_pm1, valid):
+            return bow_histogram(desc_pm1, valid, vocab)
+
+        self._bow = _bow
+
+        @jax.jit
+        def _query(db, hist, slot):
+            return query_candidates(
+                db, hist, slot, cfg.loop.min_gap_keyframes, cfg.loop.top_k
+            )
+
+        self._query = _query
+
+        self._verify = jax.jit(
+            lambda arena, cand, feats, key: geometric_verify(
+                arena, cand, feats, self.cam, cfg, key)
+        )
+
+        @partial(jax.jit, static_argnames=())
+        def _pgo(arena: MapArena, edges: PoseGraphEdges, cur_kf):
+            old_q, old_t = arena.kf_q, arena.kf_t
+            q, t, cost = optimize_pose_graph(
+                arena.kf_q, arena.kf_t, arena.kf_valid, edges,
+                iters=cfg.loop.pgo_iterations,
+            )
+            # anchor = most recent observing keyframe per landmark
+            K = arena.max_keyframes
+            rank = arena.inc.astype(jnp.int32) * (
+                jnp.arange(1, K + 1, dtype=jnp.int32)[:, None])
+            anchor = jnp.argmax(rank, axis=0)          # [L]
+            lm_new = correct_landmarks(
+                arena.lm_pos, arena.lm_valid, anchor, old_q, old_t, q, t)
+            arena = arena._replace(kf_q=q, kf_t=t, lm_pos=lm_new)
+            new_pose = Pose(q=q[cur_kf], t=t[cur_kf])
+            return arena, new_pose, cost
+
+        self._pgo = _pgo
+        self._reloc = make_relocalizer(cfg)
+
+    # ------------------------------------------------------------------
+    def on_new_keyframe(
+        self,
+        arena: MapArena,
+        state: TrackState,
+        kf_slot: int,
+        feats: Features,
+        key: Array,
+        run_loop_detection: bool = True,
+    ) -> Tuple[MapArena, TrackState, bool]:
+        hist = self._bow(feats.descriptors.unpacked, feats.keypoints.valid)
+        self.db = add_keyframe_bow(self.db, jnp.int32(kf_slot), hist)
+
+        # odometry edge between consecutive keyframes
+        if self._prev_kf is not None and self._prev_kf != kf_slot:
+            pi = Pose(q=arena.kf_q[self._prev_kf], t=arena.kf_t[self._prev_kf])
+            pj = Pose(q=arena.kf_q[kf_slot], t=arena.kf_t[kf_slot])
+            rel = relative_pose(pi, pj)
+            self.edges = add_edge(
+                self.edges, jnp.int32(self._n_edges),
+                jnp.int32(self._prev_kf), jnp.int32(kf_slot), rel, 1.0)
+            self._n_edges += 1
+        self._prev_kf = kf_slot
+
+        closed = False
+        if run_loop_detection:
+            scores, slots = self._query(self.db, hist, jnp.int32(kf_slot))
+            best_score = float(scores[0])
+            cand = int(slots[0])
+            if best_score >= self.cfg.loop.min_score:
+                ok, n_inl, meas_pose = self._verify(
+                    arena, jnp.int32(cand), feats, key)
+                if bool(ok):
+                    # loop edge cand -> cur with the *measured* relative
+                    # pose from geometric verification
+                    p_cand = Pose(q=arena.kf_q[cand], t=arena.kf_t[cand])
+                    rel = relative_pose(p_cand, meas_pose)
+                    self.edges = add_edge(
+                        self.edges, jnp.int32(self._n_edges),
+                        jnp.int32(cand), jnp.int32(kf_slot), rel,
+                        LOOP_EDGE_WEIGHT)
+                    self._n_edges += 1
+                    arena, new_pose, _ = self._pgo(
+                        arena, self.edges, jnp.int32(kf_slot))
+                    state = state._replace(pose=new_pose)
+                    closed = True
+        return arena, state, closed
+
+    # ------------------------------------------------------------------
+    def relocalize(
+        self, arena: MapArena, state: TrackState, feats: Features,
+        key: Array,
+    ) -> Tuple[TrackState, bool]:
+        ok, pose, slot, n_inl = self._reloc(arena, self.db, feats, key)
+        if bool(ok):
+            state = state._replace(
+                pose=pose, ref_kf=slot.astype(jnp.int32),
+                lost=jnp.array(False))
+            return state, True
+        return state, False

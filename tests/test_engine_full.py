@@ -62,3 +62,66 @@ def test_ba_does_not_hurt_easy_sequence():
     assert n_ok_ba == 8
     stats = ate_rmse(est_ba, gt)
     assert stats["rmse"] < 0.01, stats
+
+
+def test_loop_closure_fires_on_revisit():
+    cfg = _cfg()
+    gen = PlaneSceneGenerator(cfg.camera, seed=33)
+    # out-and-back: big steps out along x, then return to start
+    out = gen.trajectory(6, step_t=(0.25, 0.0, 0.0))
+    back = out[::-1][1:]
+    poses = out + back
+    sys_ = SlamSystem(cfg, enable_backend=False, enable_loop_closure=True)
+    for rgb, depth, ts in gen.sequence(poses):
+        sys_.process(rgb, depth, ts)
+    # enough keyframes for a loop candidate beyond min_gap?  min_gap=20
+    # with 32 kf capacity is too strict for this test; rely on cfg override
+    assert sys_.n_keyframes >= 2
+
+
+def test_loop_closure_with_small_gap():
+    """Force keyframes every frame (high inlier threshold) so a revisit
+    produces a loop candidate past min_gap."""
+    import dataclasses
+    from modular_slam_tpu.config import LoopConfig, TrackerConfig
+    cfg = dataclasses.replace(
+        _cfg(),
+        loop=LoopConfig(min_gap_keyframes=4, min_score=0.10, min_inliers=25),
+        tracker=TrackerConfig(new_keyframe_min_inliers=400),  # kf every frame
+    )
+    gen = PlaneSceneGenerator(cfg.camera, seed=34)
+    out = gen.trajectory(6, step_t=(0.25, 0.0, 0.0))
+    back = out[::-1][1:]
+    poses = out + back
+    sys_ = SlamSystem(cfg, enable_backend=False, enable_loop_closure=True)
+    for rgb, depth, ts in gen.sequence(poses):
+        sys_.process(rgb, depth, ts)
+    assert sys_.n_keyframes >= 8
+    assert sys_.n_loop_closures >= 1, (
+        f"kf={sys_.n_keyframes}, no loop closures fired")
+
+
+def test_relocalization_after_kidnap():
+    """Travel far (covisibility gating forgets the start), then teleport
+    back to the first view: normal tracking fails, BoW reloc recovers."""
+    import dataclasses
+    from modular_slam_tpu.config import TrackerConfig
+    cfg = dataclasses.replace(
+        _cfg(), tracker=TrackerConfig(new_keyframe_min_inliers=400))
+    # wide texture so a long trajectory stays on-texture; 0.5m steps keep
+    # covisibility local (adjacency ±3 kf), 12 kf > 3r+1 so 2-hop covis
+    # from the end cannot reach the start landmarks
+    gen = PlaneSceneGenerator(cfg.camera, texture_ppm=250, seed=35)
+    poses = gen.trajectory(12, step_t=(0.5, 0.0, 0.0))
+    frames = list(gen.sequence(poses))
+    sys_ = SlamSystem(cfg, enable_backend=False, enable_relocalization=True)
+    for f in frames:
+        sys_.process(*f)
+    assert sys_.n_keyframes >= 10
+    # teleport back to the start view; ref keyframe is at the far end, so
+    # 2-hop covisibility cannot see the start landmarks -> tracking fails
+    res = sys_.process(*frames[0])
+    assert sys_.n_relocalizations >= 1, "relocalizer did not fire"
+    import jax.numpy as jnp
+    pose = sys_.state.pose
+    assert float(jnp.linalg.norm(pose.t - poses[0].t)) < 0.05

@@ -1,0 +1,210 @@
+"""Loop closure: BoW vocabulary, candidate retrieval, geometric
+verification, pose-graph optimization, relocalization."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from modular_slam_tpu.config import SlamConfig, CameraConfig, DetectorConfig, MapConfig, PnpConfig, LoopConfig
+from modular_slam_tpu.loop.vocab import make_vocab, bow_histogram, descriptor_words
+from modular_slam_tpu.loop.detector import (
+    empty_database, add_keyframe_bow, query_candidates, geometric_verify,
+    relative_pose,
+)
+from modular_slam_tpu.backend.posegraph import (
+    empty_edges, add_edge, optimize_pose_graph,
+)
+from modular_slam_tpu.geometry.se3 import (
+    Pose, identity_pose, quat_from_axis_angle, pose_compose, pose_inverse,
+    quat_normalize, quat_multiply,
+)
+
+RNG = np.random.default_rng(41)
+
+
+def _rand_desc(n, seed=0):
+    rng = np.random.default_rng(seed)
+    return jnp.asarray(rng.choice([-1, 1], size=(n, 256)).astype(np.int8))
+
+
+def test_vocab_words_deterministic_and_spread():
+    vocab = make_vocab(256)
+    d = _rand_desc(500)
+    w1 = descriptor_words(d, vocab)
+    w2 = descriptor_words(d, vocab)
+    np.testing.assert_array_equal(np.array(w1), np.array(w2))
+    # words should use a decent fraction of the vocabulary
+    assert len(set(np.array(w1).tolist())) > 100
+
+
+def test_bow_similarity_discriminates():
+    vocab = make_vocab(256)
+    a = _rand_desc(300, seed=1)
+    b = _rand_desc(300, seed=2)
+    valid = jnp.ones(300, bool)
+    ha = bow_histogram(a, valid, vocab)
+    hb = bow_histogram(b, valid, vocab)
+    # near-copy of a (10% bits flipped per descriptor)
+    a_np = np.array(a)
+    flip = np.random.default_rng(3).random(a_np.shape) < 0.05
+    a2 = jnp.asarray(np.where(flip, -a_np, a_np).astype(np.int8))
+    ha2 = bow_histogram(a2, valid, vocab)
+    self_sim = float(ha @ ha2)
+    cross_sim = float(ha @ hb)
+    assert self_sim > 0.7
+    assert cross_sim < self_sim - 0.2
+
+
+def test_query_candidates_masks_neighbors():
+    db = empty_database(16, 64)
+    vocab = make_vocab(64)
+    valid = jnp.ones(10, bool)
+    hists = []
+    for k in range(5):
+        h = bow_histogram(_rand_desc(10, seed=k), valid, vocab)
+        db = add_keyframe_bow(db, jnp.int32(k), h)
+        hists.append(h)
+    # query with kf4's own histogram; min_gap=2 excludes slots 2,3,4(itself)...
+    scores, slots = query_candidates(db, hists[4], jnp.int32(4),
+                                     min_gap=3, top_k=3)
+    assert 4 not in np.array(slots[np.array(scores) > 0]).tolist()
+    assert 3 not in np.array(slots[np.array(scores) > 0]).tolist()
+
+
+def test_pose_graph_closes_drifted_loop():
+    """Square loop with accumulated odometry drift + one exact loop edge."""
+    n = 12
+    # GT: poses around a square (translation only for simplicity)
+    gt = [identity_pose()]
+    steps = []
+    for k in range(n - 1):
+        side = k // 3
+        d = [jnp.array([0.5, 0.0, 0.0]), jnp.array([0.0, 0.5, 0.0]),
+             jnp.array([-0.5, 0.0, 0.0]), jnp.array([0.0, -0.5, 0.0])][side % 4]
+        steps.append(Pose(q=jnp.array([1.0, 0, 0, 0]), t=d))
+        gt.append(Pose(q=gt[-1].q, t=gt[-1].t + d))
+
+    # drifted odometry: each step slightly biased
+    drift = jnp.array([0.01, 0.004, -0.003])
+    est = [identity_pose()]
+    for s in steps:
+        est.append(Pose(q=est[-1].q, t=est[-1].t + s.t + drift))
+
+    K = 16
+    kf_q = jnp.stack([p.q for p in est] + [identity_pose().q] * (K - n))
+    kf_t = jnp.stack([p.t for p in est] + [identity_pose().t] * (K - n))
+    kf_valid = jnp.arange(K) < n
+
+    edges = empty_edges(32)
+    slot = 0
+    for k in range(n - 1):
+        # odometry measurement = drifted relative pose (what tracking saw)
+        rel = relative_pose(est[k], est[k + 1])
+        edges = add_edge(edges, jnp.int32(slot), jnp.int32(k),
+                         jnp.int32(k + 1), rel, 1.0)
+        slot += 1
+    # exact loop edge: last pose sees the first (true relative transform)
+    rel_loop = relative_pose(gt[n - 1], gt[0])
+    edges = add_edge(edges, jnp.int32(slot), jnp.int32(n - 1), jnp.int32(0),
+                     rel_loop, 2.0)
+
+    end_err_before = float(jnp.linalg.norm(est[n - 1].t - gt[n - 1].t))
+    q, t, cost = optimize_pose_graph(kf_q, kf_t, kf_valid, edges, iters=15)
+    end_err_after = float(jnp.linalg.norm(t[n - 1] - gt[n - 1].t))
+    assert end_err_before > 0.08
+    assert end_err_after < end_err_before * 0.5, (end_err_before, end_err_after)
+    # gauge: node 0 pinned
+    np.testing.assert_allclose(np.array(t[0]), 0.0, atol=1e-7)
+
+
+def _mini_map_with_features(seed=5):
+    """Arena + features: one keyframe observing rendered-scene landmarks,
+    plus query features from the same viewpoint."""
+    from modular_slam_tpu.eval.synthetic import PlaneSceneGenerator
+    from modular_slam_tpu.ops.detector import detect
+    from modular_slam_tpu.map import (
+        empty_arena, add_keyframe, add_landmarks, add_observations,
+    )
+    from modular_slam_tpu.geometry.camera import camera_from_config, backproject
+    from modular_slam_tpu.geometry.se3 import pose_apply
+
+    cfg = SlamConfig(
+        camera=CameraConfig(fx=200.0, fy=200.0, cx=119.5, cy=89.5,
+                            width=240, height=180),
+        detector=DetectorConfig(n_levels=3, max_keypoints=256),
+        map=MapConfig(max_keyframes=8, max_landmarks=1024,
+                      max_observations=4096),
+        pnp=PnpConfig(n_hypotheses=64),
+    )
+    cam = camera_from_config(cfg.camera)
+    gen = PlaneSceneGenerator(cfg.camera, seed=seed)
+    kf_pose = Pose(q=quat_from_axis_angle(jnp.array([0.0, 0.02, 0.0])),
+                   t=jnp.array([0.3, 0.1, 0.0]))
+    rgb, depth = gen.render(kf_pose)
+    gray = jnp.asarray(rgb.astype(np.float32) @ np.array(
+        [0.299, 0.587, 0.114], np.float32))
+    feats = detect(gray, jnp.asarray(depth), cfg.detector)
+
+    arena = empty_arena(cfg.map)
+    arena, kf_slot = add_keyframe(arena, kf_pose, jnp.float32(0))
+    kps = feats.keypoints
+    has_depth = kps.valid & (kps.depth > 0)
+    pts_cam = backproject(cam, kps.uv, kps.depth)
+    pts_world = pose_apply(kf_pose, pts_cam)
+    arena, lm_slots = add_landmarks(arena, pts_world,
+                                    feats.descriptors.unpacked, has_depth)
+    arena = add_observations(arena, kf_slot, lm_slots, kps.uv, kps.depth,
+                             feats.descriptors.unpacked, has_depth)
+    return cfg, cam, arena, kf_pose, feats, gen
+
+
+def test_geometric_verify_same_view():
+    cfg, cam, arena, kf_pose, feats, gen = _mini_map_with_features()
+    ok, n_inl, pose = geometric_verify(
+        arena, jnp.int32(0), feats, cam, cfg, jax.random.PRNGKey(0))
+    assert bool(ok)
+    assert int(n_inl) > 50
+    np.testing.assert_allclose(np.array(pose.t), np.array(kf_pose.t),
+                               atol=5e-3)
+
+
+def test_geometric_verify_rejects_unrelated_frame():
+    cfg, cam, arena, kf_pose, feats, gen = _mini_map_with_features()
+    from modular_slam_tpu.ops.detector import detect
+    # render a completely different part of the scene
+    far_pose = Pose(q=identity_pose().q, t=jnp.array([30.0, 30.0, 0.0]))
+    rgb, depth = gen.render(far_pose)
+    gray = jnp.asarray(rgb.astype(np.float32) @ np.array(
+        [0.299, 0.587, 0.114], np.float32))
+    feats2 = detect(gray, jnp.asarray(depth), cfg.detector)
+    ok, n_inl, _ = geometric_verify(
+        arena, jnp.int32(0), feats2, cam, cfg, jax.random.PRNGKey(1))
+    assert not bool(ok)
+
+
+def test_relocalizer_recovers_pose():
+    from modular_slam_tpu.loop.relocalizer import make_relocalizer
+    from modular_slam_tpu.loop.detector import empty_database, add_keyframe_bow
+    from modular_slam_tpu.loop.vocab import make_vocab, bow_histogram
+
+    cfg, cam, arena, kf_pose, feats, gen = _mini_map_with_features(seed=8)
+    vocab = make_vocab(cfg.loop.vocab_size)
+    db = empty_database(cfg.map.max_keyframes, cfg.loop.vocab_size)
+    hist = bow_histogram(feats.descriptors.unpacked, feats.keypoints.valid,
+                         vocab)
+    db = add_keyframe_bow(db, jnp.int32(0), hist)
+
+    # "kidnapped" frame: re-render from a nearby pose
+    from modular_slam_tpu.ops.detector import detect
+    true_pose = Pose(q=kf_pose.q, t=kf_pose.t + jnp.array([0.05, 0.0, 0.0]))
+    rgb, depth = gen.render(true_pose)
+    gray = jnp.asarray(rgb.astype(np.float32) @ np.array(
+        [0.299, 0.587, 0.114], np.float32))
+    feats2 = detect(gray, jnp.asarray(depth), cfg.detector)
+
+    reloc = make_relocalizer(cfg)
+    ok, pose, slot, n_inl = reloc(arena, db, feats2, jax.random.PRNGKey(2))
+    assert bool(ok)
+    assert int(slot) == 0
+    np.testing.assert_allclose(np.array(pose.t), np.array(true_pose.t),
+                               atol=1e-2)
