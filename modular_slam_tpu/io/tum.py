@@ -141,6 +141,31 @@ class TumRgbdDataset:
     def timestamps(self) -> np.ndarray:
         return np.array([r.timestamp for r in self.records])
 
+    def prefetch_iter(self, n_threads: int = 4, ring: int = 8):
+        """Iterate frames through the native decode-ahead loader
+        (native/png_loader.cpp); falls back to synchronous decoding when
+        the native library is unavailable."""
+        try:
+            from modular_slam_tpu.io import native
+
+            if not native.available():
+                raise RuntimeError
+            pl = native.PrefetchLoader(
+                [r.rgb_path for r in self.records],
+                [r.depth_path for r in self.records],
+                n_threads=n_threads, ring=ring,
+            )
+        except Exception:
+            yield from self
+            return
+        try:
+            for i, rec in enumerate(self.records):
+                rgb, dep = pl.get(i)
+                depth = dep.astype(np.float32) * self.camera.depth_factor
+                yield rgb, depth, rec.timestamp
+        finally:
+            pl.close()
+
 
 def _list_images(d: str) -> List[str]:
     if not os.path.isdir(d):

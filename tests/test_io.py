@@ -110,3 +110,41 @@ def test_kitti_writer(tmp_path):
     row = np.loadtxt(path)
     np.testing.assert_allclose(
         row, [1, 0, 0, 0, 0, 1, 0, 0, 0, 0, 1, 0], atol=1e-9)
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_DATA), reason="sample data absent")
+def test_native_loader_matches_opencv():
+    from modular_slam_tpu.io import native
+    if not native.available():
+        pytest.skip("native loader not built and no toolchain")
+    import cv2
+
+    rgb = native.decode_png(REF_DATA + "/rgb/0000.png")
+    ref = cv2.imread(REF_DATA + "/rgb/0000.png")[..., ::-1]
+    np.testing.assert_array_equal(rgb, ref)
+    dep = native.decode_png(REF_DATA + "/depth/0000.png")
+    refd = cv2.imread(REF_DATA + "/depth/0000.png", cv2.IMREAD_ANYDEPTH)
+    assert dep.dtype == np.uint16
+    np.testing.assert_array_equal(dep, refd)
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_DATA), reason="sample data absent")
+def test_prefetch_iter_equals_sync_iter():
+    from modular_slam_tpu.io import native
+    if not native.available():
+        pytest.skip("native loader not built")
+    ds = TumRgbdDataset(REF_DATA)
+    sync = list(ds)
+    pre = list(ds.prefetch_iter(n_threads=2, ring=2))
+    assert len(sync) == len(pre)
+    for (r1, d1, t1), (r2, d2, t2) in zip(sync, pre):
+        np.testing.assert_array_equal(r1, r2)
+        np.testing.assert_allclose(d1, d2)
+        assert t1 == t2
+
+
+def test_native_decode_bad_path_returns_none():
+    from modular_slam_tpu.io import native
+    if not native.available():
+        pytest.skip("native loader not built")
+    assert native.decode_png("/nonexistent.png") is None
