@@ -101,6 +101,41 @@ class SlamSystem:
             from modular_slam_tpu.loop.pipeline import LoopPipeline
 
             self._loop = LoopPipeline(self.cfg)
+        # --- runtime parameter registry (reference parity:
+        # rgbd_feature_frontend.cpp:82-99, ceres_backend.cpp:108-122) -----
+        from modular_slam_tpu.utils.params import ParameterRegistry
+
+        self.params = ParameterRegistry()
+        self._param_map = {
+            "min_matched_points": ("tracker", "min_matched_points", int),
+            "better_keyframe_landmarks":
+                ("tracker", "better_keyframe_landmarks", int),
+            "new_keyframe_min_landmarks":
+                ("tracker", "new_keyframe_min_inliers", int),
+            "lba_max_num_iterations": ("backend", "max_iterations", int),
+        }
+        t = self.cfg.tracker
+        self.params.register_number("min_matched_points",
+                                    t.min_matched_points, 0, 1000)
+        self.params.register_number("better_keyframe_landmarks",
+                                    t.better_keyframe_landmarks, 0, 2000)
+        self.params.register_number("new_keyframe_min_landmarks",
+                                    t.new_keyframe_min_inliers, 0, 2000)
+        self.params.register_number("lba_max_num_iterations",
+                                    self.cfg.backend.max_iterations, 1, 100)
+        self.params.subscribe_on_change(self._on_param_change)
+
+    def _on_param_change(self, key: str, value) -> None:
+        """Live-tune a config threshold: rebuild the jitted step around the
+        new (static) config.  Recompile is cached by value."""
+        import dataclasses
+
+        section, field, cast = self._param_map[key]
+        sub = dataclasses.replace(getattr(self.cfg, section),
+                                  **{field: cast(value)})
+        self.cfg = dataclasses.replace(self.cfg, **{section: sub})
+        self._step = make_slam_step(self.cfg)
+        self._ba_fn = None  # rebuilt lazily with the new config
 
     # -- observer hooks (signal parity with SlamBuilder decorators) --------
     def register_frame_observer(self, fn) -> None:

@@ -12,9 +12,18 @@ TPU-native redesign (same goals, static shapes; SURVEY.md §7 step 3):
 - the quadtree becomes a fixed grid: per `cell_size` cell keep the top
   `max_per_cell` NMS survivors — the quadtree's ~1-keypoint-per-1000px²
   uniform density with a static candidate count;
-- all per-level candidates (fixed count) get IC angle + BRIEF, then one
-  global response top-k selects `max_keypoints`;
+- global response top-k selects `max_keypoints` BEFORE any descriptor
+  work, so orientation/description cost scales with the keypoint budget,
+  not the candidate count;
+- IC orientation comes from dense 2-channel moment-map convolutions (MXU)
+  gathered at keypoints — no per-keypoint patches;
+- BRIEF bits come from one flat gather over a padded blurred pyramid
+  atlas (ops/brief.py brief_from_atlas);
 - depth is sampled at level-0 coords from the depth map.
+
+(The first implementation gathered 31x31/37x37 patches per candidate via
+vmapped dynamic slices — 10.4 of the 12 ms detect time on a v5e.  This
+formulation replaces those with dense convs + two flat gathers.)
 """
 
 from __future__ import annotations
@@ -26,9 +35,9 @@ import jax.numpy as jnp
 
 from modular_slam_tpu.config import DetectorConfig
 from modular_slam_tpu.ops.blur import gaussian_blur
-from modular_slam_tpu.ops.brief import brief_descriptors
+from modular_slam_tpu.ops.brief import brief_from_atlas
 from modular_slam_tpu.ops.fast import fast_score, nms3x3, border_mask
-from modular_slam_tpu.ops.orient import ic_angle
+from modular_slam_tpu.ops.orient import moment_maps
 from modular_slam_tpu.ops.pyramid import build_pyramid
 from modular_slam_tpu.types import (
     Descriptors,
@@ -66,6 +75,10 @@ def _cell_candidates(
     return yx, resp.reshape(-1)
 
 
+def _pad_to(img: Array, h: int, w: int) -> Array:
+    return jnp.pad(img, ((0, h - img.shape[0]), (0, w - img.shape[1])))
+
+
 def detect(
     gray: Array, depth: Array, cfg: DetectorConfig
 ) -> Features:
@@ -74,74 +87,79 @@ def detect(
     gray:  [H, W] float32 luma
     depth: [H, W] float32 meters (0 invalid) — sampled per keypoint
     """
+    H0, W0 = gray.shape
     levels = build_pyramid(gray, cfg)
     thr_low = float(cfg.fast_threshold_low)
 
-    uv0_all: List[Array] = []
+    yx_all: List[Array] = []
     resp_all: List[Array] = []
-    ang_all: List[Array] = []
     lvl_all: List[Array] = []
-    bits_all: List[Array] = []
+    blur_atlas: List[Array] = []
+    moment_atlas: List[Array] = []
 
     for lvl, img in enumerate(levels):
         h, w = img.shape
         score = fast_score(img)
         score = nms3x3(score) * border_mask(h, w, cfg.border, img.dtype)
-        # corner iff score > threshold (strict): floor at the low threshold
         score = jnp.where(score > thr_low, score, 0.0)
 
         yx, resp = _cell_candidates(score, cfg.cell_size, cfg.max_per_cell)
-        angles = ic_angle(img, yx)
-        blurred = gaussian_blur(img, cfg.blur_ksize, cfg.blur_sigma)
-        bits = brief_descriptors(blurred, yx, angles)
-
-        scale = cfg.scale_factor ** lvl
-        uv0 = yx[:, ::-1].astype(jnp.float32) * scale  # (x, y) level-0
-
-        uv0_all.append(uv0)
+        yx_all.append(yx)
         resp_all.append(resp)
-        ang_all.append(angles)
         lvl_all.append(jnp.full(resp.shape, lvl, dtype=jnp.int32))
-        bits_all.append(bits)
 
-    uv0 = jnp.concatenate(uv0_all)
+        blur_atlas.append(
+            _pad_to(gaussian_blur(img, cfg.blur_ksize, cfg.blur_sigma), H0, W0))
+        moment_atlas.append(_pad_to_2ch(moment_maps(img), H0, W0))
+
+    yx_c = jnp.concatenate(yx_all)
     resp = jnp.concatenate(resp_all)
-    ang = jnp.concatenate(ang_all)
     lvls = jnp.concatenate(lvl_all)
-    bits = jnp.concatenate(bits_all)
 
-    # global top-k by response (invalid candidates have resp == 0)
     k = cfg.max_keypoints
     n_cand = resp.shape[0]
     if n_cand < k:  # small images: pad candidate pool up to capacity
         pad = k - n_cand
-        uv0 = jnp.concatenate([uv0, jnp.zeros((pad, 2), uv0.dtype)])
+        yx_c = jnp.concatenate([yx_c, jnp.zeros((pad, 2), yx_c.dtype)])
         resp = jnp.concatenate([resp, jnp.zeros((pad,), resp.dtype)])
-        ang = jnp.concatenate([ang, jnp.zeros((pad,), ang.dtype)])
         lvls = jnp.concatenate([lvls, jnp.zeros((pad,), lvls.dtype)])
-        bits = jnp.concatenate([bits, jnp.zeros((pad, bits.shape[1]), bits.dtype)])
+
+    # --- select the keypoint budget BEFORE descriptor work ---------------
     sel_resp, sel = jax.lax.top_k(resp, k)
     valid = sel_resp > 0.0
+    yx_sel = yx_c[sel]             # level coords
+    lvl_sel = lvls[sel]
 
-    uv = uv0[sel]
-    angles = ang[sel]
-    levels_sel = lvls[sel]
-    bits_sel = bits[sel]
+    # --- orientation from dense moment maps ------------------------------
+    moments = jnp.stack(moment_atlas)          # [nlev, H0, W0, 2]
+    m = moments[lvl_sel, yx_sel[:, 0], yx_sel[:, 1]]  # [k, 2]
+    angles = jnp.arctan2(m[:, 1], m[:, 0])
 
-    # depth lookup at level-0 coords (nearest pixel)
-    hh, ww = depth.shape
-    ix = jnp.clip(jnp.round(uv[:, 0]).astype(jnp.int32), 0, ww - 1)
-    iy = jnp.clip(jnp.round(uv[:, 1]).astype(jnp.int32), 0, hh - 1)
+    # --- descriptors from the blurred atlas -------------------------------
+    atlas = jnp.stack(blur_atlas)              # [nlev, H0, W0]
+    bits = brief_from_atlas(atlas, lvl_sel, yx_sel, angles)
+
+    # --- level-0 coords + depth -------------------------------------------
+    scales = jnp.asarray(
+        [cfg.scale_factor ** i for i in range(cfg.n_levels)], jnp.float32)
+    uv = yx_sel[:, ::-1].astype(jnp.float32) * scales[lvl_sel][:, None]
+    ix = jnp.clip(jnp.round(uv[:, 0]).astype(jnp.int32), 0, W0 - 1)
+    iy = jnp.clip(jnp.round(uv[:, 1]).astype(jnp.int32), 0, H0 - 1)
     d = depth[iy, ix]
 
     kps = Keypoints(
         uv=uv,
         response=jnp.where(valid, sel_resp, 0.0),
         angle=angles,
-        level=jnp.where(valid, levels_sel, -1),
+        level=jnp.where(valid, lvl_sel, -1),
         depth=jnp.where(valid, d, 0.0),
         valid=valid,
     )
-    packed = pack_bits(bits_sel)
-    desc = Descriptors(packed=packed, unpacked=bits_to_pm1(bits_sel))
+    packed = pack_bits(bits)
+    desc = Descriptors(packed=packed, unpacked=bits_to_pm1(bits))
     return Features(keypoints=kps, descriptors=desc)
+
+
+def _pad_to_2ch(img: Array, h: int, w: int) -> Array:
+    return jnp.pad(
+        img, ((0, h - img.shape[0]), (0, w - img.shape[1]), (0, 0)))

@@ -67,3 +67,23 @@ def ic_angle(img: Array, yx: Array, radius: int = IC_RADIUS) -> Array:
     m10 = jnp.einsum("nyx,x->n", wpatches, coords)
     m01 = jnp.einsum("nyx,y->n", wpatches, coords)
     return jnp.arctan2(m01, m10)
+
+
+def moment_maps(img: Array, radius: int = IC_RADIUS) -> Array:
+    """Dense IC moment maps [H, W, 2] = (m10, m01) via one 2-channel
+    convolution — the MXU-native replacement for per-keypoint patch
+    gathers (identical values at interior pixels; keypoints live >= 19 px
+    from the border so the SAME-padding fringe is never sampled)."""
+    mask = _mask_np(radius)
+    coords = np.arange(-radius, radius + 1, dtype=np.float32)
+    kx = (mask * coords[None, :]).astype(np.float32)   # weight * x
+    ky = (mask * coords[:, None]).astype(np.float32)   # weight * y
+    # conv kernels are cross-correlated by XLA with flipped spatial dims?
+    # lax.conv_general_dilated computes true cross-correlation, so use
+    # kernels as-is.
+    kern = jnp.asarray(np.stack([kx, ky])[:, None])    # [2, 1, s, s]
+    x = img[None, None]
+    out = lax.conv_general_dilated(
+        x, kern, (1, 1), "SAME", preferred_element_type=jnp.float32
+    )  # [1, 2, H, W]
+    return jnp.moveaxis(out[0], 0, -1)
