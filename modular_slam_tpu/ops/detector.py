@@ -131,8 +131,11 @@ def detect(
     lvl_sel = lvls[sel]
 
     # --- orientation from dense moment maps ------------------------------
+    # NB: flat 1-D takes only — multi-array advanced indexing lowers to a
+    # pathological gather on TPU (~ms per call); flat takes are ~us.
     moments = jnp.stack(moment_atlas)          # [nlev, H0, W0, 2]
-    m = moments[lvl_sel, yx_sel[:, 0], yx_sel[:, 1]]  # [k, 2]
+    flat_pos = (lvl_sel * H0 + yx_sel[:, 0]) * W0 + yx_sel[:, 1]
+    m = jnp.take(moments.reshape(-1, 2), flat_pos, axis=0)  # [k, 2]
     angles = jnp.arctan2(m[:, 1], m[:, 0])
 
     # --- descriptors from the blurred atlas -------------------------------
@@ -145,7 +148,7 @@ def detect(
     uv = yx_sel[:, ::-1].astype(jnp.float32) * scales[lvl_sel][:, None]
     ix = jnp.clip(jnp.round(uv[:, 0]).astype(jnp.int32), 0, W0 - 1)
     iy = jnp.clip(jnp.round(uv[:, 1]).astype(jnp.int32), 0, H0 - 1)
-    d = depth[iy, ix]
+    d = jnp.take(depth.reshape(-1), iy * W0 + ix)
 
     kps = Keypoints(
         uv=uv,

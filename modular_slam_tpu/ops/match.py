@@ -48,10 +48,12 @@ def match_descriptors(
     d = hamming_matrix(query_pm1, train_pm1)
     d = jnp.where(train_valid[None, :], d, _BIG)
 
-    # top-2 smallest along train axis
+    # top-2 smallest along train axis (mask-out-the-argmin instead of a
+    # zipped 2-D scatter, which hits a slow gather/scatter path on TPU)
     best_idx = jnp.argmin(d, axis=1)
     best = jnp.take_along_axis(d, best_idx[:, None], axis=1)[:, 0]
-    d2 = d.at[jnp.arange(d.shape[0]), best_idx].set(_BIG)
+    cols = jnp.arange(d.shape[1], dtype=jnp.int32)[None, :]
+    d2 = jnp.where(cols == best_idx[:, None], _BIG, d)
     second = jnp.min(d2, axis=1)
 
     ok = (

@@ -24,9 +24,17 @@ def main(argv=None) -> int:
     ap.add_argument("--out", default=None, help="trajectory output path")
     ap.add_argument("--format", choices=["tum", "kitti"], default="tum")
     ap.add_argument("--max-frames", type=int, default=None)
-    ap.add_argument("--no-ba", action="store_true", help="disable backend BA")
+    ap.add_argument("--pipeline", choices=["odometry", "slam", "full"],
+                    default="slam")
+    ap.add_argument("--no-ba", action="store_true",
+                    help="disable backend BA (same as --pipeline odometry)")
     ap.add_argument("--ate", action="store_true",
                     help="report ATE vs groundtruth.txt")
+    ap.add_argument("--ply", default=None, help="export final map as PLY")
+    ap.add_argument("--save-checkpoint", default=None)
+    ap.add_argument("--load-checkpoint", default=None)
+    ap.add_argument("--no-prefetch", action="store_true",
+                    help="disable the native decode-ahead loader")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args(argv)
@@ -38,24 +46,33 @@ def main(argv=None) -> int:
 
     from modular_slam_tpu.config import SlamConfig
     from modular_slam_tpu.engine import SlamSystem, SlamResult
+    from modular_slam_tpu.models import make_pipeline
     from modular_slam_tpu.io import (
         TumRgbdDataset, TumTrajectoryWriter, KittiTrajectoryWriter,
     )
+    from modular_slam_tpu.utils import setup_compile_cache
 
+    setup_compile_cache()
     ds = TumRgbdDataset(args.dataset)
     print(f"dataset: {len(ds)} frames", file=sys.stderr)
 
-    system = SlamSystem(SlamConfig(), seed=args.seed,
-                        enable_backend=not args.no_ba)
+    pipeline = "odometry" if args.no_ba else args.pipeline
+    system = make_pipeline(pipeline, SlamConfig(), seed=args.seed)
+    if args.load_checkpoint:
+        from modular_slam_tpu.utils.checkpoint import load_checkpoint
+
+        load_checkpoint(args.load_checkpoint, system)
+        print(f"resumed from {args.load_checkpoint}", file=sys.stderr)
 
     writer = None
     if args.out:
         cls = TumTrajectoryWriter if args.format == "tum" else KittiTrajectoryWriter
         writer = cls(args.out)
 
+    frames_iter = iter(ds) if args.no_prefetch else ds.prefetch_iter()
     n_ok = 0
     t0 = _time.perf_counter()
-    for i, (rgb, depth, ts) in enumerate(ds):
+    for i, (rgb, depth, ts) in enumerate(frames_iter):
         if args.max_frames is not None and i >= args.max_frames:
             break
         res = system.process(rgb, depth, ts)
@@ -78,9 +95,20 @@ def main(argv=None) -> int:
         "tracked_ok": n_ok,
         "keyframes": stats["keyframes"],
         "landmarks": stats["landmarks"],
+        "loop_closures": system.n_loop_closures,
+        "relocalizations": system.n_relocalizations,
         "fps": n / elapsed if elapsed > 0 else 0.0,
         "wall_s": elapsed,
     }
+
+    if args.ply:
+        from modular_slam_tpu.eval.ply import export_map_ply
+
+        report["ply_points"] = export_map_ply(args.ply, system.arena)
+    if args.save_checkpoint:
+        from modular_slam_tpu.utils.checkpoint import save_checkpoint
+
+        save_checkpoint(args.save_checkpoint, system)
 
     if args.ate and ds.groundtruth is not None and args.out \
             and args.format == "tum":
