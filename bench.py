@@ -25,8 +25,9 @@ import time
 
 import numpy as np
 
-N_FRAMES = 40
+N_FRAMES = 67
 WARMUP = 3
+CHUNK = 16  # frames per device dispatch (amortizes host/tunnel latency)
 
 
 def _sequence():
@@ -45,40 +46,45 @@ def bench_ours(cfg, frames) -> float:
     import jax
     import jax.numpy as jnp
 
-    from modular_slam_tpu.engine import make_slam_step
+    from modular_slam_tpu.engine import make_slam_scan
     from modular_slam_tpu.frontend.tracker import initial_state
     from modular_slam_tpu.map.arena import empty_arena
 
-    step = make_slam_step(cfg)
+    scan = make_slam_scan(cfg)
     arena = empty_arena(cfg.map)
     state = initial_state()
     key = jax.random.PRNGKey(0)
 
     # pre-stage device arrays (host loader is not what we are measuring)
     w = jnp.array([0.299, 0.587, 0.114], dtype=jnp.float32)
-    device_frames = []
-    for rgb, depth, ts in frames:
-        gray = jnp.tensordot(jnp.asarray(rgb).astype(jnp.float32), w, 1)
-        device_frames.append(
-            (gray, jnp.asarray(depth), jnp.float32(ts)))
-    jax.block_until_ready(device_frames)
+    grays = jnp.stack([
+        jnp.tensordot(jnp.asarray(rgb).astype(jnp.float32), w, 1)
+        for rgb, _, _ in frames])
+    depths = jnp.stack([jnp.asarray(d) for _, d, _ in frames])
+    times = jnp.asarray([ts for _, _, ts in frames], jnp.float32)
+    keys = jax.random.split(key, len(frames))
+    jax.block_until_ready((grays, depths))
 
-    results = []
-    for i, (gray, depth, ts) in enumerate(device_frames[:WARMUP]):
-        key, sub = jax.random.split(key)
-        arena, state, res, _ = step(arena, state, gray, depth, ts, sub)
+    def chunk(a, s, lo, hi):
+        return scan(a, s, grays[lo:hi], depths[lo:hi], times[lo:hi],
+                    keys[lo:hi])
+
+    # warmup (bootstrap + compile both chunk shapes)
+    arena, state, _ = chunk(arena, state, 0, WARMUP)
+    arena, state, r0 = chunk(arena, state, WARMUP, WARMUP + CHUNK)
     jax.block_until_ready(state)
 
+    n = len(frames) - WARMUP - CHUNK
+    assert n % CHUNK == 0, (n, CHUNK)
+    oks = []
     t0 = time.perf_counter()
-    for gray, depth, ts in device_frames[WARMUP:]:
-        key, sub = jax.random.split(key)
-        arena, state, res, _ = step(arena, state, gray, depth, ts, sub)
-        results.append(res)
+    for lo in range(WARMUP + CHUNK, len(frames), CHUNK):
+        arena, state, res = chunk(arena, state, lo, lo + CHUNK)
+        oks.append(res.tracking_ok)
     jax.block_until_ready(state)
     dt = time.perf_counter() - t0
-    n = len(device_frames) - WARMUP
 
-    ok = sum(bool(r.tracking_ok) for r in results)
+    ok = int(jnp.concatenate(oks).sum())
     print(f"ours: {n} frames in {dt:.3f}s, {ok}/{n} tracked ok",
           file=sys.stderr)
     return n / dt

@@ -65,6 +65,32 @@ def make_slam_step(cfg: SlamConfig):
     return jax.jit(slam_step, donate_argnums=(0,))
 
 
+def make_slam_scan(cfg: SlamConfig):
+    """Multi-frame device-side scan: process a whole chunk of frames in
+    ONE dispatch (lax.scan over the engine step).  This is the
+    throughput-oriented entry point — per-dispatch host/tunnel latency is
+    amortized over the chunk, and XLA pipelines the chunk internally.
+
+    Returns jitted fn(arena, state, grays [C,H,W], depths [C,H,W],
+    times [C], keys [C,2]) -> (arena, state, stacked TrackResult)."""
+    cam = camera_from_config(cfg.camera)
+
+    def chunk_body(carry, frame):
+        arena, state = carry
+        gray, depth, t, key = frame
+        feats = detect(gray, depth, cfg.detector)
+        arena, state, result = track_frame(
+            arena, state, feats, cam, cfg, t, key)
+        return (arena, state), result
+
+    def slam_scan(arena, state, grays, depths, times, keys):
+        (arena, state), results = jax.lax.scan(
+            chunk_body, (arena, state), (grays, depths, times, keys))
+        return arena, state, results
+
+    return jax.jit(slam_scan, donate_argnums=(0,))
+
+
 class SlamSystem:
     """Host-side orchestration: frame feed, trajectory collection, and
     (optionally) the BA backend + loop closure.

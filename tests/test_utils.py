@@ -158,3 +158,38 @@ def test_ply_export(tmp_path):
     txt = open(path).read()
     assert txt.startswith("ply")
     assert f"element vertex {n}" in txt
+
+
+def test_eval_report_outputs(tmp_path):
+    from modular_slam_tpu.eval.report import (
+        write_ate_csv, plot_trajectories, render_observation_overlay,
+        render_depth_colormap,
+    )
+
+    est = np.zeros((20, 8))
+    est[:, 0] = np.arange(20) / 30.0
+    est[:, 1] = np.linspace(0, 1, 20)
+    est[:, 7] = 1.0
+    gt = est.copy()
+    gt[:, 1] += 0.01
+
+    paths = plot_trajectories(est, gt, str(tmp_path), name="t")
+    assert os.path.exists(paths["xyz"]) and os.path.exists(paths["topdown"])
+
+    from modular_slam_tpu.eval.ate import ate_rmse
+    write_ate_csv(str(tmp_path / "ate.csv"), {"seq": ate_rmse(est, gt)})
+    rows = open(tmp_path / "ate.csv").read().strip().split("\n")
+    assert len(rows) == 2 and rows[0].startswith("sequence,rmse")
+
+    rgb = np.zeros((40, 60, 3), np.uint8)
+    kp = np.array([[10.0, 10.0], [30.0, 20.0]])
+    lm = kp + 3.0
+    out = render_observation_overlay(rgb, kp, lm,
+                                     path=str(tmp_path / "ovl.png"))
+    assert out.shape == rgb.shape
+    assert os.path.exists(tmp_path / "ovl.png")
+    assert (out != 0).any()
+
+    d = np.random.default_rng(0).uniform(0, 5, (40, 60)).astype(np.float32)
+    cm = render_depth_colormap(d, path=str(tmp_path / "d.png"))
+    assert cm.shape == (40, 60, 3)
