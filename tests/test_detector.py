@@ -115,3 +115,23 @@ def test_detect_on_reference_frames():
     # levels populated beyond level 0
     lv = np.array(kps.level[np.array(kps.valid)])
     assert (lv > 0).sum() > 10
+
+
+def test_moment_maps_match_patch_oracle():
+    """moment_maps (prefix-sum strips) == patch-based circular moments at
+    interior pixels (>= border away from every edge)."""
+    from modular_slam_tpu.ops.orient import IC_RADIUS, _mask_np, moment_maps
+
+    rng = np.random.default_rng(3)
+    img = rng.uniform(0, 255, (96, 128)).astype(np.float32)
+    mm = np.array(moment_maps(jnp.asarray(img)))
+
+    mask = _mask_np(IC_RADIUS)
+    coords = np.arange(-IC_RADIUS, IC_RADIUS + 1, dtype=np.float32)
+    for (y, x) in [(20, 20), (48, 64), (70, 100), (19, 108)]:
+        patch = img[y - IC_RADIUS:y + IC_RADIUS + 1,
+                    x - IC_RADIUS:x + IC_RADIUS + 1] * mask
+        m10 = float((patch * coords[None, :]).sum())
+        m01 = float((patch * coords[:, None]).sum())
+        np.testing.assert_allclose(mm[y, x, 0], m10, rtol=2e-4)
+        np.testing.assert_allclose(mm[y, x, 1], m01, rtol=2e-4)

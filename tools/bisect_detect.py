@@ -28,7 +28,25 @@ def timeit(fn, *args, n=20, warmup=3):
     return (time.perf_counter() - t0) / n * 1e3
 
 
+def _warm_sync():
+    """Run one slam_step first: on the axon relay, block_until_ready only
+    reports true execution time after a first full-step dispatch."""
+    from modular_slam_tpu.engine import make_slam_step
+    from modular_slam_tpu.frontend.tracker import initial_state
+    from modular_slam_tpu.map.arena import empty_arena
+    from modular_slam_tpu.config import SlamConfig
+    c = SlamConfig()
+    step = make_slam_step(c)
+    import numpy as _np
+    g = jnp.asarray(_np.zeros((480, 640), _np.float32))
+    d = jnp.asarray(_np.ones((480, 640), _np.float32))
+    a, s, _, _ = step(empty_arena(c.map), initial_state(), g, d,
+                      jnp.float32(0.0), jax.random.PRNGKey(0))
+    jax.block_until_ready(a)
+
+
 def main():
+    _warm_sync()
     cfg = SlamConfig().detector
     rng = np.random.default_rng(0)
     gray = jnp.asarray(rng.uniform(0, 255, (480, 640)).astype(np.float32))
