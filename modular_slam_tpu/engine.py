@@ -179,6 +179,7 @@ class SlamSystem:
             self.arena, self.state, frame.gray, frame.depth,
             frame.timestamp, sub,
         )
+        self.last_features = feats  # device refs; consumed by viz overlays
         self.results.append(result)
         pose = Pose(q=result.pose.q, t=result.pose.t)
         self.trajectory.append((timestamp, pose))
