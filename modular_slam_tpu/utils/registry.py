@@ -95,5 +95,13 @@ def _register_builtins() -> None:
     def _tum(cfg, root):
         return TumRgbdDataset(root, cfg.camera)
 
+    @register("data_provider", "realsense")
+    def _realsense(cfg, root=None, **kw):
+        # live camera; raises clearly when the SDK is absent (io/camera.py)
+        from modular_slam_tpu.io.camera import LiveRgbdCamera
+
+        return LiveRgbdCamera(width=cfg.camera.width,
+                              height=cfg.camera.height, **kw)
+
 
 _register_builtins()
