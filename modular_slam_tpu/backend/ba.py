@@ -292,7 +292,7 @@ def make_local_ba(cfg: SlamConfig) -> Callable:
         slot0 = jnp.arange(arena.max_keyframes) == 0
         pose_free = window & ~slot0
         arena, _ = ba_solve(cam, arena, pose_free, lm_active, obs_active,
-                            bcfg)
+                            bcfg, residual_type=bcfg.local_residual)
         # current sensor pose rides the just-optimized newest keyframe
         new_pose = Pose(q=arena.kf_q[kf_slot], t=arena.kf_t[kf_slot])
         state = state._replace(pose=new_pose)
@@ -312,6 +312,7 @@ def make_global_ba(cfg: SlamConfig) -> Callable:
         pose_free = arena.kf_valid & ~slot0
         lm_free = arena.lm_valid
         obs_active = arena.obs_valid
-        return ba_solve(cam, arena, pose_free, lm_free, obs_active, bcfg)
+        return ba_solve(cam, arena, pose_free, lm_free, obs_active, bcfg,
+                        residual_type=bcfg.global_residual)
 
     return jax.jit(global_ba, donate_argnums=(0,))

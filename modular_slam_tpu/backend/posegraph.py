@@ -41,6 +41,10 @@ class PoseGraphEdges(NamedTuple):
     rel_t: Array   # [E, 3]
     weight: Array  # [E] float32 (0 = inactive; loop edges may be down/up
     #              weighted vs odometry edges)
+    is_loop: Array  # [E] bool — loop-closure measurement (keep as stored);
+    #              odometry edges (False) are re-measured from the current
+    #              BA-refined poses at optimization time (see
+    #              refresh_odometry_edges)
 
 
 def empty_edges(capacity: int) -> PoseGraphEdges:
@@ -50,17 +54,39 @@ def empty_edges(capacity: int) -> PoseGraphEdges:
         rel_q=jnp.zeros((capacity, 4), jnp.float32).at[:, 0].set(1.0),
         rel_t=jnp.zeros((capacity, 3), jnp.float32),
         weight=jnp.zeros((capacity,), jnp.float32),
+        is_loop=jnp.zeros((capacity,), bool),
     )
 
 
 def add_edge(edges: PoseGraphEdges, slot: Array, i: Array, j: Array,
-             rel: Pose, weight: float = 1.0) -> PoseGraphEdges:
+             rel: Pose, weight: float = 1.0,
+             is_loop: bool = False) -> PoseGraphEdges:
     return PoseGraphEdges(
         i=edges.i.at[slot].set(i, mode="drop"),
         j=edges.j.at[slot].set(j, mode="drop"),
         rel_q=edges.rel_q.at[slot].set(rel.q, mode="drop"),
         rel_t=edges.rel_t.at[slot].set(rel.t, mode="drop"),
         weight=edges.weight.at[slot].set(weight, mode="drop"),
+        is_loop=edges.is_loop.at[slot].set(is_loop, mode="drop"),
+    )
+
+
+def refresh_odometry_edges(edges: PoseGraphEdges, kf_q: Array,
+                           kf_t: Array) -> PoseGraphEdges:
+    """Re-measure non-loop edges from the current keyframe poses.
+
+    Local/global BA keeps refining keyframe poses after an odometry edge
+    was recorded, so its creation-time measurement goes stale; optimizing
+    against it would snap the graph back to raw odometry and destroy the
+    BA refinement.  Loop-closure edges keep their stored measurements —
+    they are the new information PGO distributes along the chain."""
+    pi = Pose(q=kf_q[edges.i], t=kf_t[edges.i])
+    pj = Pose(q=kf_q[edges.j], t=kf_t[edges.j])
+    cur = pose_compose(pose_inverse(pi), pj)
+    keep = edges.is_loop[:, None]
+    return edges._replace(
+        rel_q=jnp.where(keep, edges.rel_q, cur.q),
+        rel_t=jnp.where(keep, edges.rel_t, cur.t),
     )
 
 

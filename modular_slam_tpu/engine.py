@@ -238,6 +238,23 @@ class SlamSystem:
         return self.trajectory
 
     # -- introspection ------------------------------------------------------
+    def keyframe_trajectory(self) -> np.ndarray:
+        """[N, 8] TUM-format rows (t x y z qx qy qz qw) of the valid
+        keyframe poses, in slot order.  Unlike `.trajectory` (per-frame
+        poses as estimated at the time), this reflects loop-closure and
+        BA corrections applied to the map after the fact."""
+        valid = np.asarray(self.arena.kf_valid)
+        q = np.asarray(self.arena.kf_q)   # wxyz
+        t = np.asarray(self.arena.kf_t)
+        times = np.asarray(self.arena.kf_time)
+        idx = np.nonzero(valid)[0]
+        out = np.zeros((len(idx), 8), np.float64)
+        out[:, 0] = times[idx]
+        out[:, 1:4] = t[idx]
+        out[:, 4:7] = q[idx, 1:4]  # xyz
+        out[:, 7] = q[idx, 0]      # w
+        return out
+
     @property
     def n_keyframes(self) -> int:
         return int(self.arena.n_kf)
@@ -256,4 +273,8 @@ class SlamSystem:
             "last_n_matches": int(last.n_matches) if last else 0,
             "last_n_inliers": int(last.n_inliers) if last else 0,
             "tracking_ok": bool(last.tracking_ok) if last else False,
+            "loop_closures": self.n_loop_closures,
+            "relocalizations": self.n_relocalizations,
+            "global_ba_runs":
+                self._loop.n_global_ba if self._loop is not None else 0,
         }

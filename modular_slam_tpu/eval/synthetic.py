@@ -44,11 +44,17 @@ class PlaneSceneGenerator:
 
     def __init__(self, camera: CameraConfig | None = None,
                  plane_z: float = 2.0, texture_ppm: float = 400.0,
-                 texture_size: int = 4096, seed: int = 0):
+                 texture_size: int = 4096, seed: int = 0,
+                 depth_noise: float = 0.0):
         self.camera = camera or CameraConfig()
         self.plane_z = plane_z
         self.ppm = texture_ppm  # texture pixels per meter
         self.tex = _texture(texture_size, seed)
+        # per-pixel gaussian depth noise (meters).  Injects realistic
+        # sensor error so odometry accumulates drift — used by the
+        # loop-closure tests to create something worth correcting.
+        self.depth_noise = depth_noise
+        self._noise_rng = np.random.default_rng(seed + 1)
 
     def render(self, pose: Pose) -> Tuple[np.ndarray, np.ndarray]:
         """-> (rgb [H,W,3] uint8, depth [H,W] float32 meters)."""
@@ -88,6 +94,10 @@ class PlaneSceneGenerator:
         gray = np.where(inside, val, 0.0).astype(np.float32)
 
         depth = np.where(inside, lam, 0.0).astype(np.float32)
+        if self.depth_noise > 0.0:
+            noise = self._noise_rng.normal(
+                0.0, self.depth_noise, depth.shape).astype(np.float32)
+            depth = np.where(depth > 0, np.maximum(depth + noise, 0.05), 0.0)
         rgb = np.repeat(gray[..., None], 3, axis=-1).astype(np.uint8)
         return rgb, depth
 
@@ -98,6 +108,23 @@ class PlaneSceneGenerator:
             q = quat_from_axis_angle(jnp.asarray(np.array(step_rot) * k,
                                                  dtype=jnp.float32))
             t = jnp.asarray(np.array(step_t) * k, dtype=jnp.float32)
+            poses.append(Pose(q=q, t=t))
+        return poses
+
+    def loop_trajectory(self, n_frames: int, radius: float = 0.6,
+                        center=(0.0, 0.0)) -> List[Pose]:
+        """Closed circular loop in the x-y plane facing the textured
+        plane: the camera translates around a circle (no rotation, so the
+        plane stays in view) and returns exactly to the start — the
+        canonical loop-closure scenario."""
+        poses = []
+        for k in range(n_frames):
+            a = 2.0 * np.pi * k / n_frames
+            t = jnp.asarray(
+                [center[0] + radius * np.sin(a),
+                 center[1] + radius * (1.0 - np.cos(a)), 0.0],
+                dtype=jnp.float32)
+            q = jnp.asarray([1.0, 0.0, 0.0, 0.0], dtype=jnp.float32)
             poses.append(Pose(q=q, t=t))
         return poses
 

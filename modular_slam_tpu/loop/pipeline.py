@@ -20,6 +20,7 @@ from modular_slam_tpu.backend.posegraph import (
     correct_landmarks,
     empty_edges,
     optimize_pose_graph,
+    refresh_odometry_edges,
 )
 from modular_slam_tpu.config import SlamConfig
 from modular_slam_tpu.frontend.tracker import TrackState
@@ -76,6 +77,9 @@ class LoopPipeline:
         @partial(jax.jit, static_argnames=())
         def _pgo(arena: MapArena, edges: PoseGraphEdges, cur_kf):
             old_q, old_t = arena.kf_q, arena.kf_t
+            # odometry measurements go stale as BA refines poses; refresh
+            # them so PGO only distributes the *loop* correction
+            edges = refresh_odometry_edges(edges, arena.kf_q, arena.kf_t)
             q, t, cost = optimize_pose_graph(
                 arena.kf_q, arena.kf_t, arena.kf_valid, edges,
                 iters=cfg.loop.pgo_iterations,
@@ -93,6 +97,9 @@ class LoopPipeline:
 
         self._pgo = _pgo
         self._reloc = make_relocalizer(cfg)
+        self._gba = None          # global BA, built lazily on first closure
+        self.n_global_ba = 0
+        self.last_gba_stats = None
 
     # ------------------------------------------------------------------
     def on_new_keyframe(
@@ -134,13 +141,33 @@ class LoopPipeline:
                     self.edges = add_edge(
                         self.edges, jnp.int32(self._n_edges),
                         jnp.int32(cand), jnp.int32(kf_slot), rel,
-                        LOOP_EDGE_WEIGHT)
+                        LOOP_EDGE_WEIGHT, is_loop=True)
                     self._n_edges += 1
                     arena, new_pose, _ = self._pgo(
                         arena, self.edges, jnp.int32(kf_slot))
                     state = state._replace(pose=new_pose)
                     closed = True
+                    if self.cfg.loop.global_ba_on_loop:
+                        arena, state = self._run_global_ba(
+                            arena, state, kf_slot)
         return arena, state, closed
+
+    def _run_global_ba(
+        self, arena: MapArena, state: TrackState, kf_slot: int,
+    ) -> Tuple[MapArena, TrackState]:
+        """Loop-triggered global bundle adjustment — the reference's
+        intended global BA on loop detection (ceres_backend.cpp:130-138,
+        deepLevel=max at :180), which its early return at :95 made dead."""
+        if self._gba is None:
+            from modular_slam_tpu.backend.ba import make_global_ba
+
+            self._gba = make_global_ba(self.cfg)
+        arena, stats = self._gba(arena)
+        self.n_global_ba += 1
+        self.last_gba_stats = stats
+        new_pose = Pose(q=arena.kf_q[kf_slot], t=arena.kf_t[kf_slot])
+        state = state._replace(pose=new_pose)
+        return arena, state
 
     # ------------------------------------------------------------------
     def relocalize(

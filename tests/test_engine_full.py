@@ -64,21 +64,6 @@ def test_ba_does_not_hurt_easy_sequence():
     assert stats["rmse"] < 0.01, stats
 
 
-def test_loop_closure_fires_on_revisit():
-    cfg = _cfg()
-    gen = PlaneSceneGenerator(cfg.camera, seed=33)
-    # out-and-back: big steps out along x, then return to start
-    out = gen.trajectory(6, step_t=(0.25, 0.0, 0.0))
-    back = out[::-1][1:]
-    poses = out + back
-    sys_ = SlamSystem(cfg, enable_backend=False, enable_loop_closure=True)
-    for rgb, depth, ts in gen.sequence(poses):
-        sys_.process(rgb, depth, ts)
-    # enough keyframes for a loop candidate beyond min_gap?  min_gap=20
-    # with 32 kf capacity is too strict for this test; rely on cfg override
-    assert sys_.n_keyframes >= 2
-
-
 def test_loop_closure_with_small_gap():
     """Force keyframes every frame (high inlier threshold) so a revisit
     produces a loop candidate past min_gap."""

@@ -1,0 +1,97 @@
+"""End-to-end loop closure: BoW detect -> geometric verify -> pose-graph
+optimization -> global BA, through the full SlamSystem pipeline.
+
+The scenario the reference intended but never shipped (loop detection
+gated off at rgbd_feature_frontend.cpp:164-167, global-BA trigger dead
+behind ceres_backend.cpp:95): a camera drives two laps of a closed loop
+over a textured plane with noisy depth (injected drift), revisits fire
+BoW loop candidates, geometric verification confirms them, and the
+PGO + global-BA correction measurably reduces trajectory error vs the
+identical run with loop closure disabled.
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from modular_slam_tpu.config import (
+    SlamConfig, CameraConfig, DetectorConfig, MapConfig, PnpConfig,
+    BackendConfig, LoopConfig,
+)
+from modular_slam_tpu.eval.ate import ate_rmse
+from modular_slam_tpu.eval.synthetic import PlaneSceneGenerator
+from modular_slam_tpu.models.pipelines import full_slam_pipeline
+
+LAP_FRAMES = 24
+RADIUS = 1.2
+DEPTH_NOISE = 0.03
+
+
+def _cfg() -> SlamConfig:
+    return SlamConfig(
+        camera=CameraConfig(fx=320.0, fy=320.0, cx=159.5, cy=119.5,
+                            width=320, height=240),
+        detector=DetectorConfig(n_levels=4, max_keypoints=384),
+        map=MapConfig(max_keyframes=64, max_landmarks=8192,
+                      max_observations=32768),
+        pnp=PnpConfig(n_hypotheses=64),
+        backend=BackendConfig(max_iterations=8),
+        loop=LoopConfig(min_gap_keyframes=4, min_score=0.05,
+                        min_inliers=25, global_ba_on_loop=True),
+    )
+
+
+@pytest.fixture(scope="module")
+def loop_scene():
+    cfg = _cfg()
+    gen = PlaneSceneGenerator(cfg.camera, seed=3, depth_noise=DEPTH_NOISE)
+    poses = gen.loop_trajectory(LAP_FRAMES, radius=RADIUS) * 2  # two laps
+    frames = list(gen.sequence(poses))
+    gt = np.zeros((len(poses), 8), np.float64)
+    for k, p in enumerate(poses):
+        gt[k, 0] = k / 30.0
+        gt[k, 1:4] = np.asarray(p.t)
+        q = np.asarray(p.q)
+        gt[k, 4:7] = q[1:4]
+        gt[k, 7] = q[0]
+    return cfg, frames, gt
+
+
+def _run(cfg, frames, enable_loop: bool):
+    system = full_slam_pipeline(cfg)
+    # same pipeline object graph in both runs (identical RNG stream);
+    # only the detection query is toggled
+    system.enable_loop_closure = enable_loop
+    for rgb, depth, ts in frames:
+        system.process(rgb, depth, ts)
+    return system
+
+
+def _kf_ate(system, gt) -> float:
+    return ate_rmse(system.keyframe_trajectory(), gt,
+                    max_difference=0.05)["rmse"]
+
+
+def test_loop_closure_end_to_end(loop_scene):
+    cfg, frames, gt = loop_scene
+    on = _run(cfg, frames, enable_loop=True)
+    off = _run(cfg, frames, enable_loop=False)
+
+    # closures actually fired, and each ran PGO + global BA
+    assert on.n_loop_closures >= 1, "no loop closures fired"
+    assert on._loop.n_global_ba >= 1, "global BA never triggered by a loop"
+    assert on._loop.n_global_ba == on.n_loop_closures
+    gba = on._loop.last_gba_stats
+    assert gba is not None
+    assert float(gba.final_cost) <= float(gba.initial_cost)
+
+    # the correction measurably improves the map trajectory vs the
+    # identical run without loop closure (post-closure < pre-closure ATE)
+    ate_on = _kf_ate(on, gt)
+    ate_off = _kf_ate(off, gt)
+    assert on.n_keyframes == off.n_keyframes or on.n_keyframes > 0
+    assert ate_on < ate_off, (
+        f"loop closure did not improve keyframe ATE: on={ate_on:.4f} "
+        f"off={ate_off:.4f}")
+    assert ate_on < 0.25, f"absolute keyframe ATE too high: {ate_on:.4f}"
