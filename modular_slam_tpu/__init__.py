@@ -14,7 +14,7 @@ A from-scratch rebuild of the capabilities of marcin-ochman/modular-slam
 Reference parity notes cite file:line into /root/reference.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 from modular_slam_tpu.config import (  # noqa: F401
     CameraConfig,

@@ -36,6 +36,7 @@ from modular_slam_tpu.backend.residuals import (
     huber_weights,
     point2point_residuals,
     reprojection_residuals,
+    rgbd_residuals,
 )
 from modular_slam_tpu.config import SlamConfig
 from modular_slam_tpu.frontend.tracker import TrackState
@@ -114,11 +115,16 @@ def ba_core(
     L = lm_pos.shape[0]
 
     tcw0 = pose_inverse(Pose(q=kf_q_wc, t=kf_t_wc))
+    # huber deltas live in residual units: meters (p2p) vs pixels
+    delta = cfg.huber_delta if residual_type == "p2p" else cfg.huber_delta_px
 
     def residuals(q_cw, t_cw, lm):
         R = quat_to_matrix(q_cw)
         if residual_type == "p2p":
             return point2point_residuals(R, t_cw, lm, obs)
+        if residual_type == "rgbd":
+            return rgbd_residuals(cam, R, t_cw, lm, obs,
+                                  depth_weight=cfg.depth_weight)
         return reprojection_residuals(cam, R, t_cw, lm, obs)
 
     pf_obs = pose_free[obs.kf].astype(jnp.float32)
@@ -126,12 +132,12 @@ def ba_core(
 
     def cost_of(q_cw, t_cw, lm):
         r, _, _ = residuals(q_cw, t_cw, lm)
-        return allreduce(_huber_cost(r, cfg.huber_delta, obs.w))
+        return allreduce(_huber_cost(r, delta, obs.w))
 
     def lm_step(carry, _):
         q_cw, t_cw, lm, lam, cost = carry
         r, Jp, Jl = residuals(q_cw, t_cw, lm)
-        w = huber_weights(r, cfg.huber_delta, obs.w)
+        w = huber_weights(r, delta, obs.w)
         # zero out jacobians of fixed params (their residuals still
         # constrain the free ones)
         Jp = Jp * pf_obs[:, None, None]
@@ -199,8 +205,8 @@ def ba_core(
         dl = jnp.einsum("lij,lj->li", Vinv, b_l - z2) * lm_free[:, None]
 
         # tentative update
-        delta = se3_exp(dp)
-        tcw_new = pose_compose(delta, Pose(q=q_cw, t=t_cw))
+        dpose = se3_exp(dp)
+        tcw_new = pose_compose(dpose, Pose(q=q_cw, t=t_cw))
         lm_new = lm + dl
         new_cost = cost_of(tcw_new.q, tcw_new.t, lm_new)
 

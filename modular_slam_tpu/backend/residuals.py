@@ -1,12 +1,18 @@
 """Bundle-adjustment residuals and analytic Jacobians.
 
-Two residual types, matching the reference and the standard alternative:
+Three residual types:
 
 - **3D point-to-point** (the reference's choice, ceres_backend.cpp:19-60):
   r = T_cw * l_world - backproject(uv, depth)  in the camera frame.
   RGB-D depth makes this well-conditioned in all three directions.
 - **2D reprojection** (MinMseTracker's form,
   ceres_reprojection_error_pnp.cpp:18-63): r = uv - project(T_cw * l).
+- **Hybrid RGB-D** (`rgbd_residuals`): 2D reprojection in pixels plus the
+  depth measurement as a third row scaled to pixel-comparable units —
+  the RGB-D analogue of ORB-SLAM's stereo u_r residual.  Pixels stay the
+  clean measurement; the (down-weighted) depth row removes the
+  along-ray null space that pure reprojection leaves on landmarks seen
+  from short baselines.
 
 Pose parametrization: left-multiplicative se(3) delta on the
 camera-from-world transform T_cw (exp(xi) * T_cw), so
@@ -84,6 +90,52 @@ def reprojection_residuals(
         ],
         axis=-2,
     )  # [O, 2, 3]
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=r.dtype), (r.shape[0], 3, 3))
+    Jpc = jnp.concatenate([eye, -_skew(p_c)], axis=-1)  # [O, 3, 6]
+    Jp = jnp.einsum("oij,ojk->oik", Jproj, Jpc)
+    Jl = jnp.einsum("oij,ojk->oik", Jproj, Rk)
+    return r, Jp, Jl
+
+
+def rgbd_residuals(
+    cam: Camera,
+    R_cw: Array, t_cw: Array, lm_pos: Array, obs: ObsData,
+    depth_weight: float = 0.25,
+) -> Tuple[Array, Array, Array]:
+    """-> (r [O, 3], Jp [O, 3, 6], Jl [O, 3, 3]).
+
+    Rows 0-1: pixel reprojection error.  Row 2:
+    w_d * (z_pred - z_meas) with w_d = depth_weight * fx / z_meas, so a
+    depth error contributes in the same units as the pixel shift it
+    would induce on nearby geometry (disparity scaling).  w_d depends
+    only on the measurement, so it is constant w.r.t. the parameters."""
+    Rk = R_cw[obs.kf]
+    tk = t_cw[obs.kf]
+    l = lm_pos[obs.lm]
+    p_c = jnp.einsum("oij,oj->oi", Rk, l) + tk
+    x, y = p_c[:, 0], p_c[:, 1]
+    z = jnp.where(p_c[:, 2] > 1e-6, p_c[:, 2], 1e-6)
+    inv_z = 1.0 / z
+    z_meas = obs.p_obs[:, 2]
+    w_d = depth_weight * cam.fx / jnp.maximum(z_meas, 0.1)
+    r = jnp.stack(
+        [
+            x * inv_z * cam.fx + cam.cx - obs.uv[:, 0],
+            y * inv_z * cam.fy + cam.cy - obs.uv[:, 1],
+            w_d * (p_c[:, 2] - z_meas),
+        ],
+        axis=-1,
+    )
+    fxz, fyz = cam.fx * inv_z, cam.fy * inv_z
+    zero = jnp.zeros_like(fxz)
+    Jproj = jnp.stack(
+        [
+            jnp.stack([fxz, zero, -fxz * x * inv_z], axis=-1),
+            jnp.stack([zero, fyz, -fyz * y * inv_z], axis=-1),
+            jnp.stack([zero, zero, w_d], axis=-1),
+        ],
+        axis=-2,
+    )  # [O, 3, 3]
     eye = jnp.broadcast_to(jnp.eye(3, dtype=r.dtype), (r.shape[0], 3, 3))
     Jpc = jnp.concatenate([eye, -_skew(p_c)], axis=-1)  # [O, 3, 6]
     Jp = jnp.einsum("oij,ojk->oik", Jproj, Jpc)

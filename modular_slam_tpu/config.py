@@ -136,19 +136,23 @@ class BackendConfig:
     max_iterations: int = 20
     cg_iters: int = 40           # PCG iterations per LM step (static)
     local_window_depth: int = 1
-    # residual forms: local BA keeps the reference's 3D point-to-point
-    # residual (ceres_backend.cpp:19-60); global BA uses 2D reprojection —
-    # pixel coordinates are the clean measurement, so when depth is noisy
-    # the reprojection estimator is strictly more accurate (measured:
-    # loop-closure ATE 0.17 -> 0.13 on the noisy-depth two-lap benchmark)
+    # residual forms ("p2p" | "reproj" | "rgbd"): local BA keeps the
+    # reference's 3D point-to-point residual (ceres_backend.cpp:19-60);
+    # global BA uses the hybrid RGB-D residual — pixel coordinates are the
+    # clean measurement (reproj beat p2p under depth noise: loop-closure
+    # ATE 0.17 -> 0.13 on the noisy-depth two-lap benchmark), while the
+    # down-weighted depth row removes the along-ray landmark null space
+    # that pure reprojection leaves at short baselines
     local_residual: str = "p2p"
-    global_residual: str = "reproj"
+    global_residual: str = "rgbd"
     outlier_threshold_m: float = 0.15
     init_lambda: float = 1e-4
     lambda_up: float = 10.0
     lambda_down: float = 0.1
     min_obs_per_landmark: int = 2
-    huber_delta: float = 0.1
+    huber_delta: float = 0.1      # meters — p2p residuals
+    huber_delta_px: float = 2.0   # pixels — reproj / rgbd residuals
+    depth_weight: float = 0.25    # rgbd depth-row weight multiplier
 
 
 @dataclasses.dataclass(frozen=True)

@@ -1,0 +1,188 @@
+"""Multi-sequence evaluation driver — reference evaluate.py parity
+(utils/tools/py/evaluate.py:237-267, minus the docker-run ORB-SLAM3 /
+stella_vslam baselines, which need docker + network this environment
+does not have).
+
+One invocation runs N TUM-format sequences through a chosen pipeline and
+writes an artifact directory:
+
+    out/
+      <seq>/trajectory.txt      estimated trajectory (TUM format)
+      <seq>/trajectory_xyz.png  xyz-over-time plot vs groundtruth
+      <seq>/trajectory_topdown.png
+      ate.csv                   one row of ATE stats per sequence
+      report.json               everything incl. fps + loop closures
+                                (+ scaling efficiency with --multiseq)
+
+With --multiseq the sequences are additionally run *batched* through the
+data-parallel engine step on the device mesh (parallel/multiseq.py) and
+the report gains the BASELINE config-5 scaling-efficiency metric
+throughput(B sequences batched) / (B * throughput(single sequence)).
+
+    python -m modular_slam_tpu.eval.evaluate --datasets d1 d2 d3 \
+        --out report_dir [--pipeline slam|full|odometry] [--multiseq] \
+        [--max-frames N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from typing import Dict, List, Optional
+
+import numpy as np
+
+
+def _run_sequence(cfg, ds, pipeline: str, seed: int,
+                  max_frames: Optional[int]) -> Dict:
+    from modular_slam_tpu.models import make_pipeline
+
+    system = make_pipeline(pipeline, cfg, seed=seed)
+    t0 = time.perf_counter()
+    n = 0
+    for i, (rgb, depth, ts) in enumerate(ds.prefetch_iter()):
+        if max_frames is not None and i >= max_frames:
+            break
+        system.process(rgb, depth, ts)
+        n += 1
+    wall = time.perf_counter() - t0
+    est = np.zeros((len(system.trajectory), 8), np.float64)
+    for k, (ts, pose) in enumerate(system.trajectory):
+        q = np.asarray(pose.q)
+        t = np.asarray(pose.t)
+        est[k] = [ts, t[0], t[1], t[2], q[1], q[2], q[3], q[0]]
+    return {
+        "system": system,
+        "est": est,
+        "frames": n,
+        "wall_s": wall,
+        "fps": n / wall if wall > 0 else 0.0,
+    }
+
+
+def evaluate_datasets(dataset_dirs: List[str], out_dir: str,
+                      pipeline: str = "slam", seed: int = 0,
+                      max_frames: Optional[int] = None,
+                      multiseq: bool = False) -> Dict:
+    from modular_slam_tpu.config import SlamConfig
+    from modular_slam_tpu.eval.ate import ate_rmse
+    from modular_slam_tpu.eval.report import plot_trajectories, write_ate_csv
+    from modular_slam_tpu.io.tum import TumRgbdDataset
+
+    os.makedirs(out_dir, exist_ok=True)
+    ate_rows: Dict[str, Dict[str, float]] = {}
+    report: Dict = {"pipeline": pipeline, "sequences": {}}
+
+    datasets = []
+    for d in dataset_dirs:
+        name = os.path.basename(os.path.normpath(d))
+        ds = TumRgbdDataset(d)
+        datasets.append((name, ds))
+        cfg = SlamConfig().replace(camera=ds.camera)
+
+        res = _run_sequence(cfg, ds, pipeline, seed, max_frames)
+        seq_dir = os.path.join(out_dir, name)
+        os.makedirs(seq_dir, exist_ok=True)
+
+        traj_path = os.path.join(seq_dir, "trajectory.txt")
+        with open(traj_path, "w") as f:
+            f.write("# timestamp tx ty tz qx qy qz qw\n")
+            for row in res["est"]:
+                f.write(" ".join(f"{v:.6f}" for v in row) + "\n")
+
+        seq_report = {
+            "frames": res["frames"],
+            "fps": round(res["fps"], 2),
+            "keyframes": res["system"].n_keyframes,
+            "landmarks": res["system"].n_landmarks,
+            "loop_closures": res["system"].n_loop_closures,
+        }
+        if ds.groundtruth is not None:
+            try:
+                stats = ate_rmse(res["est"], ds.groundtruth,
+                                 max_difference=0.05)
+                ate_rows[name] = stats
+                seq_report["ate_rmse"] = round(stats["rmse"], 5)
+            except ValueError as e:
+                seq_report["ate_error"] = str(e)
+            try:
+                plot_trajectories(res["est"], ds.groundtruth, seq_dir,
+                                  max_difference=0.05)
+            except Exception as e:  # matplotlib optional
+                seq_report["plot_error"] = str(e)
+        report["sequences"][name] = seq_report
+        print(f"[{name}] {seq_report}", file=sys.stderr)
+
+    if ate_rows:
+        write_ate_csv(os.path.join(out_dir, "ate.csv"), ate_rows)
+
+    if multiseq and len(datasets) >= 2:
+        report["multiseq"] = _multiseq_scaling(datasets, max_frames)
+
+    with open(os.path.join(out_dir, "report.json"), "w") as f:
+        json.dump(report, f, indent=2)
+    return report
+
+
+def _multiseq_scaling(datasets, max_frames: Optional[int]) -> Dict:
+    """Batched DP run over all sequences vs a single-sequence run:
+    the BASELINE config-5 scaling-efficiency metric."""
+    import jax
+
+    from modular_slam_tpu.config import SlamConfig
+    from modular_slam_tpu.parallel.mesh import make_mesh
+    from modular_slam_tpu.parallel.multiseq import (
+        MultiSequenceRunner, scaling_efficiency)
+
+    # batched DP requires one shared camera/shape config across rows
+    cam = datasets[0][1].camera
+    cfg = SlamConfig().replace(camera=cam)
+    seqs = [list(ds)[:max_frames] if max_frames else list(ds)
+            for _, ds in datasets]
+    batch = len(seqs)
+    n_dev = min(batch, len(jax.devices()))
+    mesh = make_mesh(seq=n_dev)
+
+    runner1 = MultiSequenceRunner(cfg, batch=1, mesh=make_mesh(seq=1))
+    r1 = runner1.run(seqs[:1], max_frames=max_frames)
+    runnerN = MultiSequenceRunner(cfg, batch=batch, mesh=mesh)
+    rN = runnerN.run(seqs, max_frames=max_frames)
+    eff = scaling_efficiency(rN["frames_per_s"], r1["frames_per_s"], n_dev)
+    return {
+        "batch": batch,
+        "devices": n_dev,
+        "single_seq_fps": round(r1["frames_per_s"], 2),
+        "batched_fps": round(rN["frames_per_s"], 2),
+        "scaling_efficiency": round(eff, 3),
+    }
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(
+        description="run + evaluate SLAM over multiple sequences")
+    ap.add_argument("--datasets", nargs="+", required=True,
+                    help="TUM-format sequence directories")
+    ap.add_argument("--out", required=True, help="report output directory")
+    ap.add_argument("--pipeline", choices=["odometry", "slam", "full"],
+                    default="slam")
+    ap.add_argument("--max-frames", type=int, default=None)
+    ap.add_argument("--multiseq", action="store_true",
+                    help="also measure batched multi-sequence scaling")
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args(argv)
+
+    from modular_slam_tpu.utils import setup_compile_cache
+
+    setup_compile_cache()
+    report = evaluate_datasets(
+        args.datasets, args.out, pipeline=args.pipeline, seed=args.seed,
+        max_frames=args.max_frames, multiseq=args.multiseq)
+    print(json.dumps(report, default=str))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -51,7 +51,7 @@ class LiveRgbdCamera:
             self.camera = getattr(backend, "camera", None) or CameraConfig(
                 width=width, height=height,
                 depth_factor=REALSENSE_DEPTH_FACTOR)
-            for _ in range(min(warmup, getattr(backend, "warmup_budget", warmup))):
+            for _ in range(warmup):
                 backend.wait_for_frames()
             return
 
@@ -74,11 +74,18 @@ class LiveRgbdCamera:
         self._align = rs.align(rs.stream.color)
         intr = (profile.get_stream(rs.stream.color)
                 .as_video_stream_profile().get_intrinsics())
+        # devices report their own depth scale (SR300: 0.000125, D4xx:
+        # 0.001); trust the device, fall back to the reference constant
+        try:
+            self._depth_scale = float(
+                profile.get_device().first_depth_sensor().get_depth_scale())
+        except Exception:
+            self._depth_scale = REALSENSE_DEPTH_FACTOR
         self.camera = CameraConfig(
             fx=float(intr.fx), fy=float(intr.fy),
             cx=float(intr.ppx), cy=float(intr.ppy),
             width=int(intr.width), height=int(intr.height),
-            depth_factor=REALSENSE_DEPTH_FACTOR)
+            depth_factor=self._depth_scale)
         for _ in range(warmup):  # auto-exposure settle (:15-26)
             self._pipe.wait_for_frames()
         # pragma: no cover end
@@ -86,19 +93,40 @@ class LiveRgbdCamera:
     def _next(self) -> Tuple[np.ndarray, np.ndarray, float]:
         if self._backend is not None:
             return self._backend.wait_for_frames()
-        frames = self._align.process(self._pipe.wait_for_frames())
-        color = np.asanyarray(frames.get_color_frame().get_data())
-        depth = np.asanyarray(frames.get_depth_frame().get_data())
+        # tolerate occasional dropped frames in a long live session: a
+        # frameset can arrive with a null color/depth frame; retry
+        for _ in range(100):
+            frames = self._align.process(self._pipe.wait_for_frames())
+            cf, df = frames.get_color_frame(), frames.get_depth_frame()
+            if cf and df:
+                break
+        else:
+            raise RuntimeError("camera delivered 100 incomplete framesets")
+        color = np.asanyarray(cf.get_data())
+        depth = np.asanyarray(df.get_data())
         ts = float(frames.get_timestamp()) * 1e-3  # ms -> s
         return (color.astype(np.uint8),
-                depth.astype(np.float32) * REALSENSE_DEPTH_FACTOR, ts)
+                depth.astype(np.float32) * self._depth_scale, ts)
 
     def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray, float]]:
         n = 0
-        while self.max_frames is None or n < self.max_frames:
-            yield self._next()
-            n += 1
+        try:
+            while self.max_frames is None or n < self.max_frames:
+                yield self._next()
+                n += 1
+        finally:
+            self.close()
 
     def close(self) -> None:
-        if self._backend is None and hasattr(self, "_pipe"):
+        if self._backend is not None:
+            closer = getattr(self._backend, "close", None)
+            if callable(closer):
+                closer()
+        elif hasattr(self, "_pipe"):
             self._pipe.stop()
+
+    def __enter__(self) -> "LiveRgbdCamera":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()

@@ -86,7 +86,11 @@ class TumRgbdDataset:
     def __init__(self, root: str, camera: Optional[CameraConfig] = None,
                  max_difference: float = 0.02):
         self.root = root
-        self.camera = camera or CameraConfig()
+        # camera resolution order: explicit arg > intrinsics.txt in the
+        # sequence dir (written by eval/make_dataset.py) > the TUM preset
+        # the reference hardcodes (rgbd_file_provider.cpp:136-145)
+        self.camera = camera or _read_intrinsics(
+            os.path.join(root, "intrinsics.txt")) or CameraConfig()
         self.records: List[FrameRecord] = []
 
         rgb_txt = os.path.join(root, "rgb.txt")
@@ -188,6 +192,23 @@ def _read_file_list(path: str, root: str) -> List[Tuple[float, str]]:
             parts = line.split()
             out.append((float(parts[0]), os.path.join(root, parts[1])))
     return out
+
+
+def _read_intrinsics(path: str) -> Optional[CameraConfig]:
+    """`fx fy cx cy depth_factor width height` on one non-comment line."""
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            v = line.split()
+            return CameraConfig(
+                fx=float(v[0]), fy=float(v[1]), cx=float(v[2]),
+                cy=float(v[3]), depth_factor=float(v[4]),
+                width=int(v[5]), height=int(v[6]))
+    return None
 
 
 def _read_trajectory_file(path: str) -> np.ndarray:

@@ -75,6 +75,22 @@ def _cell_candidates(
     return yx, resp.reshape(-1)
 
 
+def _cell_threshold_fallback(score: Array, cell: int, thr_high: float) -> Array:
+    """Reference FAST threshold semantics per cell: detect at the high
+    threshold (20); only cells with no high-threshold corner fall back to
+    the low one (distributed_cv_feature.cpp:918-925).  On the score map
+    this is: if a cell's max score exceeds thr_high, zero that cell's
+    sub-threshold scores."""
+    h, w = score.shape
+    ncy, ncx = h // cell, w // cell
+    s = score[: ncy * cell, : ncx * cell]
+    blocks = s.reshape(ncy, cell, ncx, cell)
+    cell_max = blocks.max(axis=(1, 3), keepdims=True)
+    keep = (cell_max <= thr_high) | (blocks > thr_high)
+    out = jnp.where(keep, blocks, 0.0).reshape(ncy * cell, ncx * cell)
+    return score.at[: ncy * cell, : ncx * cell].set(out)
+
+
 def _pad_to(img: Array, h: int, w: int) -> Array:
     return jnp.pad(img, ((0, h - img.shape[0]), (0, w - img.shape[1])))
 
@@ -97,11 +113,13 @@ def detect(
     blur_atlas: List[Array] = []
     moment_atlas: List[Array] = []
 
+    thr_high = float(cfg.fast_threshold)
     for lvl, img in enumerate(levels):
         h, w = img.shape
         score = fast_score(img)
         score = nms3x3(score) * border_mask(h, w, cfg.border, img.dtype)
         score = jnp.where(score > thr_low, score, 0.0)
+        score = _cell_threshold_fallback(score, cfg.cell_size, thr_high)
 
         yx, resp = _cell_candidates(score, cfg.cell_size, cfg.max_per_cell)
         yx_all.append(yx)

@@ -10,8 +10,9 @@ reference's per-cell retry (threshold 20 falling back to 7) becomes
 "per-cell max of the score map, floored at 7", with high-threshold corners
 winning automatically.
 
-Pure jnp formulation (VPU-friendly; a Pallas variant lives in
-ops/pallas/fast_pallas.py):
+Pure jnp formulation (VPU-friendly; rolls + elementwise min/max fuse into
+a handful of XLA kernels — see docs/architecture.md for the measured
+XLA-vs-Pallas decision on this op):
   d[k]   = I(p + circle[k]) - I(p)                  (16 rolled images)
   m9[k]  = min(d[k], ..., d[k+8])  circular          (16 planes)
   bright = max_k m9[k]       # corner for all t < bright

@@ -20,7 +20,9 @@ from modular_slam_tpu.types import Matches
 
 Array = jnp.ndarray
 
-_BIG = jnp.float32(1e9)
+# plain float: a module-level jnp scalar would initialize the
+# device backend at import time (slow through the TPU tunnel)
+_BIG = 1e9
 
 
 def hamming_matrix(a_pm1: Array, b_pm1: Array) -> Array:

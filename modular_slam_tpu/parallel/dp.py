@@ -36,15 +36,20 @@ def make_batch_slam_step(cfg: SlamConfig, mesh: Mesh,
 
     batched = jax.vmap(one)
 
-    def shard_leading(tree):
+    def constrain(tree):
         return jax.tree.map(
-            lambda x: NamedSharding(mesh, P(axis, *([None] * (x.ndim - 1)))),
+            lambda x: jax.lax.with_sharding_constraint(
+                x, NamedSharding(mesh, P(axis, *([None] * (x.ndim - 1))))),
             tree,
         )
 
     @jax.jit
     def step(arenas, states, grays, depths, times, keys):
-        return batched(arenas, states, grays, depths, times, keys)
+        # pin the per-sequence axis to the mesh so XLA never gathers a
+        # whole batch onto one device, whatever the inputs' placement
+        out = batched(arenas, states, constrain(grays), constrain(depths),
+                      times, keys)
+        return constrain(out)
 
     return step
 

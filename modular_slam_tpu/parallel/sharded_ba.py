@@ -57,6 +57,7 @@ def make_sharded_global_ba(cfg: SlamConfig, mesh: Mesh,
         lm_free = lm_valid
         q, t, lm, stats = ba_core(
             cam, kf_q, kf_t, lm_pos, obs, pose_free, lm_free, bcfg,
+            residual_type=bcfg.global_residual,
             allreduce=lambda x: lax.psum(x, axis),
         )
         return q, t, lm, stats

@@ -13,9 +13,35 @@ rgbd_slam.cpp:87-91 — bug #13), this exits when the dataset ends.
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import json
 import sys
 import time as _time
+
+
+def apply_overrides(cfg, overrides):
+    """Apply `section.field=value` strings to a SlamConfig, casting each
+    value to the dataclass field's declared type."""
+    for ov in overrides:
+        try:
+            dotted, value = ov.split("=", 1)
+            section, field = dotted.split(".", 1)
+        except ValueError:
+            raise SystemExit(f"--set expects section.field=value, got {ov!r}")
+        sub = getattr(cfg, section, None)
+        if sub is None or not dataclasses.is_dataclass(sub):
+            raise SystemExit(f"unknown config section {section!r}")
+        ftypes = {f.name: f.type for f in dataclasses.fields(sub)}
+        if field not in ftypes:
+            raise SystemExit(f"unknown field {dotted!r}")
+        current = getattr(sub, field)
+        if isinstance(current, bool):
+            cast = value.lower() in ("1", "true", "yes", "on")
+        else:
+            cast = type(current)(value)
+        cfg = dataclasses.replace(
+            cfg, **{section: dataclasses.replace(sub, **{field: cast})})
+    return cfg
 
 
 def main(argv=None) -> int:
@@ -37,6 +63,9 @@ def main(argv=None) -> int:
                     help="disable the native decode-ahead loader")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--set", action="append", default=[], metavar="S.F=V",
+                    help="config override, e.g. --set loop.min_score=0.05 "
+                         "(repeatable; casts to the field's declared type)")
     args = ap.parse_args(argv)
 
     import jax
@@ -57,7 +86,9 @@ def main(argv=None) -> int:
     print(f"dataset: {len(ds)} frames", file=sys.stderr)
 
     pipeline = "odometry" if args.no_ba else args.pipeline
-    system = make_pipeline(pipeline, SlamConfig(), seed=args.seed)
+    cfg = SlamConfig().replace(camera=ds.camera)
+    cfg = apply_overrides(cfg, args.set)
+    system = make_pipeline(pipeline, cfg, seed=args.seed)
     if args.load_checkpoint:
         from modular_slam_tpu.utils.checkpoint import load_checkpoint
 

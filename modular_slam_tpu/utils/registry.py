@@ -97,7 +97,12 @@ def _register_builtins() -> None:
 
     @register("data_provider", "realsense")
     def _realsense(cfg, root=None, **kw):
-        # live camera; raises clearly when the SDK is absent (io/camera.py)
+        # live camera; raises clearly when the SDK is absent (io/camera.py).
+        # NB: the device reports its own intrinsics/depth scale into
+        # provider.camera — rebuild the pipeline config from it before
+        # constructing camera-dependent components (e.g.
+        # cfg.replace(camera=provider.camera)), or PnP/BA would run with
+        # the TUM preset intrinsics.
         from modular_slam_tpu.io.camera import LiveRgbdCamera
 
         return LiveRgbdCamera(width=cfg.camera.width,
