@@ -42,12 +42,26 @@ class SlamResult(enum.Enum):
     ERROR = 3
 
 
-def make_slam_step(cfg: SlamConfig):
+def _resolve(cfg: SlamConfig, components):
+    """(detect_fn, match_fn, pnp_fn) from an injected Components or the
+    built-in ops (models/components.py contracts)."""
+    if components is not None:
+        return components.detect, components.match, components.pnp
+    return (lambda gray, depth: detect(gray, depth, cfg.detector),
+            None, None)
+
+
+def make_slam_step(cfg: SlamConfig, components=None):
     """Build the jitted engine step closed over the static config.
+
+    `components` (models/components.Components) injects the
+    detector/matcher/pnp — the reference's constructor injection
+    (rgbd_feature_frontend.cpp:140-154); None uses the built-ins.
 
     Returns (arena, state, result, features) — features ride along so the
     host can feed BoW loop detection without re-detecting."""
     cam = camera_from_config(cfg.camera)
+    detect_fn, match_fn, pnp_fn = _resolve(cfg, components)
 
     def slam_step(
         arena: MapArena,
@@ -57,31 +71,36 @@ def make_slam_step(cfg: SlamConfig):
         time: Array,
         key: Array,
     ):
-        feats = detect(gray, depth, cfg.detector)
+        feats = detect_fn(gray, depth)
         arena, state, result = track_frame(
-            arena, state, feats, cam, cfg, time, key)
+            arena, state, feats, cam, cfg, time, key,
+            match_fn=match_fn, pnp_fn=pnp_fn)
         return arena, state, result, feats
 
     return jax.jit(slam_step, donate_argnums=(0,))
 
 
-def make_slam_scan(cfg: SlamConfig):
+def make_slam_scan(cfg: SlamConfig, components=None, with_features=False):
     """Multi-frame device-side scan: process a whole chunk of frames in
     ONE dispatch (lax.scan over the engine step).  This is the
     throughput-oriented entry point — per-dispatch host/tunnel latency is
     amortized over the chunk, and XLA pipelines the chunk internally.
 
     Returns jitted fn(arena, state, grays [C,H,W], depths [C,H,W],
-    times [C], keys [C,2]) -> (arena, state, stacked TrackResult)."""
+    times [C], keys [C,2]) -> (arena, state, stacked TrackResult[, stacked
+    Features when with_features — consumed by chunked loop closure])."""
     cam = camera_from_config(cfg.camera)
+    detect_fn, match_fn, pnp_fn = _resolve(cfg, components)
 
     def chunk_body(carry, frame):
         arena, state = carry
         gray, depth, t, key = frame
-        feats = detect(gray, depth, cfg.detector)
+        feats = detect_fn(gray, depth)
         arena, state, result = track_frame(
-            arena, state, feats, cam, cfg, t, key)
-        return (arena, state), result
+            arena, state, feats, cam, cfg, t, key,
+            match_fn=match_fn, pnp_fn=pnp_fn)
+        out = (result, feats) if with_features else result
+        return (arena, state), out
 
     def slam_scan(arena, state, grays, depths, times, keys):
         (arena, state), results = jax.lax.scan(
@@ -103,12 +122,22 @@ class SlamSystem:
     def __init__(self, cfg: Optional[SlamConfig] = None, seed: int = 0,
                  enable_backend: bool = True, ba_every: int = 1,
                  enable_loop_closure: bool = False,
-                 enable_relocalization: bool = False):
+                 enable_relocalization: bool = False,
+                 component_names: Optional[dict] = None):
         self.cfg = cfg or SlamConfig()
         self.cam: Camera = camera_from_config(self.cfg.camera)
         self.arena: MapArena = empty_arena(self.cfg.map)
         self.state: TrackState = initial_state()
-        self._step = make_slam_step(self.cfg)
+        # registry-selected detector/matcher/pnp, composed into the jitted
+        # step (reference DI, slam_builder.hpp:170-177); names are kept so
+        # live param changes rebuild with the same selection
+        from modular_slam_tpu.models.components import build_components
+
+        self._component_names = dict(component_names or {})
+        self.components = build_components(self.cfg, self._component_names)
+        self.component_names = self.components.names
+        self._step = make_slam_step(self.cfg, self.components)
+        self._scan = None  # chunked-path scan, built lazily
         self._key = jax.random.PRNGKey(seed)
         self.trajectory: List[Tuple[float, Pose]] = []
         self.results: List[TrackResult] = []
@@ -156,11 +185,15 @@ class SlamSystem:
         new (static) config.  Recompile is cached by value."""
         import dataclasses
 
+        from modular_slam_tpu.models.components import build_components
+
         section, field, cast = self._param_map[key]
         sub = dataclasses.replace(getattr(self.cfg, section),
                                   **{field: cast(value)})
         self.cfg = dataclasses.replace(self.cfg, **{section: sub})
-        self._step = make_slam_step(self.cfg)
+        self.components = build_components(self.cfg, self._component_names)
+        self._step = make_slam_step(self.cfg, self.components)
+        self._scan = None
         self._ba_fn = None  # rebuilt lazily with the new config
 
     # -- observer hooks (signal parity with SlamBuilder decorators) --------
@@ -226,15 +259,126 @@ class SlamSystem:
             self.arena, self.state, jnp.int32(kf_slot)
         )
 
-    def run(self, dataset, writer=None, max_frames: Optional[int] = None):
+    # -- chunked engine loop (throughput path) -------------------------------
+    def process_chunk(self, rgbs, depths, timestamps) -> List[SlamResult]:
+        """Process C frames in ONE device dispatch (lax.scan), then sync
+        the chunk's TrackResults to host ONCE and run the keyframe-rate
+        work (loop closure, relocalization, local BA) off the chunk's
+        keyframe flags.
+
+        This removes the per-frame device->host sync of `process`
+        (SURVEY.md §7 step 6 gate): host round-trips happen once per chunk
+        + once per keyframe, so full-pipeline throughput approaches the
+        raw scan path.  Semantics vs `process`: BA / loop correction land
+        after the chunk instead of mid-chunk, and relocalization fires at
+        chunk boundaries — the reference's own intended async backend
+        ("TODO: run as std::async", slam.hpp:94) has the same property.
+        """
+        from modular_slam_tpu.io.tum import frame_to_device
+
+        C = len(timestamps)
+        need_feats = self._loop is not None
+        if self._scan is None:
+            self._scan = make_slam_scan(self.cfg, self.components,
+                                        with_features=need_feats)
+        devframes = [frame_to_device(r, d, t)
+                     for r, d, t in zip(rgbs, depths, timestamps)]
+        grays = jnp.stack([f.gray for f in devframes])
+        deps = jnp.stack([f.depth for f in devframes])
+        times = jnp.asarray([float(t) for t in timestamps], jnp.float32)
+        self._key, sub = jax.random.split(self._key)
+        keys = jax.random.split(sub, C)
+
+        self.arena, self.state, out = self._scan(
+            self.arena, self.state, grays, deps, times, keys)
+        if need_feats:
+            results, feats = out
+        else:
+            results, feats = out, None
+
+        # ---- the chunk's single host sync --------------------------------
+        host = jax.device_get(
+            (results.pose.q, results.pose.t, results.tracking_ok,
+             results.new_keyframe, results.kf_slot, results.n_matches,
+             results.n_inliers))
+        qs, ts_, ok, new_kf, kf_slots, n_m, n_i = (np.asarray(a) for a in host)
+
+        codes: List[SlamResult] = []
+        for i in range(C):
+            pose = Pose(q=jnp.asarray(qs[i]), t=jnp.asarray(ts_[i]))
+            self.trajectory.append((float(timestamps[i]), pose))
+            self.results.append(jax.tree_util.tree_map(
+                lambda x, i=i: x[i], results))
+            for fn in self._frame_observers:
+                fn(float(timestamps[i]), pose, self.results[-1])
+            codes.append(SlamResult.SUCCESS if ok[i]
+                         else SlamResult.NO_CONSTRAINTS)
+
+        # ---- keyframe-rate work off the chunk's flags ---------------------
+        for i in np.nonzero(new_kf)[0]:
+            kf_slot = int(kf_slots[i])
+            if self._loop is not None:
+                feats_i = jax.tree_util.tree_map(lambda x, i=i: x[i], feats)
+                self._key, sub = jax.random.split(self._key)
+                self.arena, self.state, closed = self._loop.on_new_keyframe(
+                    self.arena, self.state, kf_slot, feats_i, sub,
+                    run_loop_detection=self.enable_loop_closure,
+                )
+                if closed:
+                    self.n_loop_closures += 1
+            if self.enable_backend:
+                self._kf_since_ba += 1
+                if self._kf_since_ba >= self.ba_every:
+                    self._run_local_ba(kf_slot)
+                    self._kf_since_ba = 0
+
+        # ---- relocalization at the chunk boundary -------------------------
+        if (not ok[-1] and self.enable_relocalization
+                and self._loop is not None):
+            feats_last = (jax.tree_util.tree_map(lambda x: x[-1], feats)
+                          if feats is not None else None)
+            if feats_last is not None:
+                self._key, sub = jax.random.split(self._key)
+                new_state, r_ok = self._loop.relocalize(
+                    self.arena, self.state, feats_last, sub)
+                if r_ok:
+                    self.state = new_state
+                    self.n_relocalizations += 1
+        return codes
+
+    def run(self, dataset, writer=None, max_frames: Optional[int] = None,
+            chunk: int = 1):
         """Process a full dataset; optionally stream poses to a trajectory
-        writer.  Returns the list of (timestamp, Pose)."""
+        writer.  `chunk > 1` uses the chunked scan path (one dispatch +
+        one host sync per `chunk` frames); a final partial chunk falls
+        back to per-frame processing to avoid a second compiled shape.
+        Returns the list of (timestamp, Pose)."""
+        def _flush(buf):
+            if len(buf) == chunk:
+                self.process_chunk(*zip(*buf))
+            else:
+                for rgb, depth, ts in buf:
+                    self.process(rgb, depth, ts)
+            if writer is not None:
+                for off in range(len(buf)):
+                    t, p = self.trajectory[off - len(buf)]
+                    writer.write(t, p)
+
+        buf = []
         for i, (rgb, depth, ts) in enumerate(dataset):
             if max_frames is not None and i >= max_frames:
                 break
-            self.process(rgb, depth, ts)
-            if writer is not None:
-                writer.write(ts, self.trajectory[-1][1])
+            if chunk <= 1:
+                self.process(rgb, depth, ts)
+                if writer is not None:
+                    writer.write(ts, self.trajectory[-1][1])
+                continue
+            buf.append((rgb, depth, ts))
+            if len(buf) == chunk:
+                _flush(buf)
+                buf = []
+        if buf:
+            _flush(buf)
         return self.trajectory
 
     # -- introspection ------------------------------------------------------

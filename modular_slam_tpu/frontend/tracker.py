@@ -104,19 +104,27 @@ def _bootstrap(
 def _track(
     arena: MapArena, state: TrackState, feats: Features, cam: Camera,
     cfg: SlamConfig, time: Array, key: Array,
+    match_fn=None, pnp_fn=None,
 ) -> Tuple[MapArena, TrackState, TrackResult]:
     kps = feats.keypoints
     desc = feats.descriptors.unpacked
     tcfg = cfg.tracker
+
+    # injected components (rgbd_feature_frontend.cpp:140-154 constructor
+    # injection); None -> the built-in ops, closed over cfg
+    if match_fn is None:
+        match_fn = lambda q, qv, t, tv: match_descriptors(  # noqa: E731
+            q, qv, t, tv, cfg.matcher)
+    if pnp_fn is None:
+        pnp_fn = lambda pw, uv, pc, v, init, k: ransac_pnp(  # noqa: E731
+            cam, pw, uv, pc, v, init, k, cfg.pnp)
 
     # --- candidate landmarks: 2-hop covisibility of the reference KF ------
     kf_mask = khop_keyframes(arena, state.ref_kf, tcfg.covis_depth_tracking)
     lm_mask = visible_landmarks(arena, kf_mask)
 
     # --- 2-NN ratio matching against landmark descriptors -----------------
-    matches = match_descriptors(
-        desc, kps.valid, arena.lm_desc, lm_mask, cfg.matcher
-    )
+    matches = match_fn(desc, kps.valid, arena.lm_desc, lm_mask)
     matches = dedupe_matches(matches, arena.max_landmarks)
 
     has_depth = kps.depth > 0.0
@@ -126,9 +134,7 @@ def _track(
     # --- PnP ---------------------------------------------------------------
     pts_world = arena.lm_pos[matches.lm_slot]
     pts_cam = backproject(cam, kps.uv, kps.depth)
-    pnp = ransac_pnp(
-        cam, pts_world, kps.uv, pts_cam, m_ok, state.pose, key, cfg.pnp
-    )
+    pnp = pnp_fn(pts_world, kps.uv, pts_cam, m_ok, state.pose, key)
 
     enough = n_matches >= tcfg.min_matched_points
     ok = enough & pnp.ok
@@ -204,11 +210,17 @@ def track_frame(
     cfg: SlamConfig,
     time: Array,
     key: Array,
+    match_fn=None,
+    pnp_fn=None,
 ) -> Tuple[MapArena, TrackState, TrackResult]:
-    """One frontend step: bootstrap on the first frame, track afterwards."""
+    """One frontend step: bootstrap on the first frame, track afterwards.
+
+    `match_fn` / `pnp_fn` are optional injected components (see
+    models/components.py for the contracts); None uses the built-ins."""
     return lax.cond(
         arena.n_kf == 0,
         lambda a: _bootstrap(a, state, feats, cam, cfg, time),
-        lambda a: _track(a, state, feats, cam, cfg, time, key),
+        lambda a: _track(a, state, feats, cam, cfg, time, key,
+                         match_fn=match_fn, pnp_fn=pnp_fn),
         arena,
     )

@@ -66,15 +66,16 @@ class SlamBuilder:
     def build(self) -> SlamSystem:
         from modular_slam_tpu.models.pipelines import make_pipeline
 
-        system = make_pipeline(self._pipeline, self._cfg, seed=self._seed)
-        # currently the engine step is monolithic over the built-in ops;
-        # non-default component selections are validated against the
-        # registry above and recorded for forward-compat
-        system.component_names = {
-            "detector": self._detector,
-            "matcher": self._matcher,
-            "pnp": self._pnp,
-        }
+        # the selected components are instantiated from the registry and
+        # composed into the jitted engine step (reference injection,
+        # rgbd_feature_frontend.cpp:140-154 via slam_builder.hpp:170-177)
+        system = make_pipeline(
+            self._pipeline, self._cfg, seed=self._seed,
+            component_names={
+                "detector": self._detector,
+                "matcher": self._matcher,
+                "pnp": self._pnp,
+            })
         for fn in self._frame_actions:
             system.register_frame_observer(fn)
         return system

@@ -61,8 +61,16 @@ def main(argv=None) -> int:
     ap.add_argument("--load-checkpoint", default=None)
     ap.add_argument("--no-prefetch", action="store_true",
                     help="disable the native decode-ahead loader")
+    ap.add_argument("--chunk", type=int, default=1,
+                    help="frames per device dispatch (>1 enables the "
+                         "chunked scan path: one host sync per chunk)")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--detector", default="orb_grid",
+                    help="registry detector name")
+    ap.add_argument("--matcher", default="hamming_2nn",
+                    help="registry matcher name")
+    ap.add_argument("--pnp", default="ransac_3p", help="registry pnp name")
     ap.add_argument("--set", action="append", default=[], metavar="S.F=V",
                     help="config override, e.g. --set loop.min_score=0.05 "
                          "(repeatable; casts to the field's declared type)")
@@ -88,7 +96,10 @@ def main(argv=None) -> int:
     pipeline = "odometry" if args.no_ba else args.pipeline
     cfg = SlamConfig().replace(camera=ds.camera)
     cfg = apply_overrides(cfg, args.set)
-    system = make_pipeline(pipeline, cfg, seed=args.seed)
+    system = make_pipeline(
+        pipeline, cfg, seed=args.seed,
+        component_names={"detector": args.detector, "matcher": args.matcher,
+                         "pnp": args.pnp})
     if args.load_checkpoint:
         from modular_slam_tpu.utils.checkpoint import load_checkpoint
 
@@ -102,19 +113,41 @@ def main(argv=None) -> int:
 
     frames_iter = iter(ds) if args.no_prefetch else ds.prefetch_iter()
     n_ok = 0
+    buf = []
+
+    def _flush():
+        nonlocal n_ok
+        if len(buf) == args.chunk:
+            codes = system.process_chunk(*zip(*buf))
+        else:
+            codes = [system.process(r, d, t) for r, d, t in buf]
+        n_ok += sum(c == SlamResult.SUCCESS for c in codes)
+        if writer is not None:
+            for off in range(len(buf)):
+                t, p = system.trajectory[off - len(buf)]
+                writer.write(t, p)
+        buf.clear()
+
     t0 = _time.perf_counter()
     for i, (rgb, depth, ts) in enumerate(frames_iter):
         if args.max_frames is not None and i >= args.max_frames:
             break
-        res = system.process(rgb, depth, ts)
-        if res == SlamResult.SUCCESS:
-            n_ok += 1
-        if writer is not None:
-            writer.write(ts, system.trajectory[-1][1])
+        if args.chunk <= 1:
+            res = system.process(rgb, depth, ts)
+            if res == SlamResult.SUCCESS:
+                n_ok += 1
+            if writer is not None:
+                writer.write(ts, system.trajectory[-1][1])
+        else:
+            buf.append((rgb, depth, ts))
+            if len(buf) == args.chunk:
+                _flush()
         if (i + 1) % 50 == 0:
             st = system.stats()
             print(f"[{i+1}] kf={st['keyframes']} lm={st['landmarks']} "
                   f"inl={st['last_n_inliers']}", file=sys.stderr)
+    if buf:
+        _flush()
     elapsed = _time.perf_counter() - t0
     if writer is not None:
         writer.close()
