@@ -279,6 +279,142 @@ def ba_solve(
     return arena, stats
 
 
+def ba_core_dense(
+    cam: Camera,
+    kf_q_wc: Array, kf_t_wc: Array,     # [K,4],[K,3] camera-to-world
+    lm_pos: Array,                      # [L,3]
+    obs: ObsData,
+    pose_free: Array,                   # [K] bool
+    lm_free: Array,                     # [L] bool
+    cfg,                                # BackendConfig
+    residual_type: str = "p2p",
+) -> Tuple[Array, Array, Array, BAStats]:
+    """LM with a DENSE materialized Schur complement — for compacted
+    local windows (K small).  The [K,L,6,3] W blocks and the [6K,6K]
+    reduced system fit comfortably at window scale, so each LM iteration
+    is a few segment-sums + one small dense solve (exact Newton step on
+    the reduced system) instead of cfg.cg_iters matrix-free PCG sweeps —
+    the windowed analogue of Ceres' SPARSE_NORMAL_CHOLESKY direct solve
+    (ceres_backend.cpp:193-198)."""
+    K = kf_q_wc.shape[0]
+    L = lm_pos.shape[0]
+
+    tcw0 = pose_inverse(Pose(q=kf_q_wc, t=kf_t_wc))
+    delta = cfg.huber_delta if residual_type == "p2p" else cfg.huber_delta_px
+
+    def residuals(q_cw, t_cw, lm):
+        R = quat_to_matrix(q_cw)
+        if residual_type == "p2p":
+            return point2point_residuals(R, t_cw, lm, obs)
+        if residual_type == "rgbd":
+            return rgbd_residuals(cam, R, t_cw, lm, obs,
+                                  depth_weight=cfg.depth_weight)
+        return reprojection_residuals(cam, R, t_cw, lm, obs)
+
+    pf_obs = pose_free[obs.kf].astype(jnp.float32)
+    lf_obs = lm_free[obs.lm].astype(jnp.float32)
+    seg_kl = obs.kf * L + obs.lm       # [O] joint (kf, lm) segment id
+
+    def cost_of(q_cw, t_cw, lm):
+        r, _, _ = residuals(q_cw, t_cw, lm)
+        return _huber_cost(r, delta, obs.w)
+
+    def lm_step(carry, _):
+        q_cw, t_cw, lm, lam, cost = carry
+        r, Jp, Jl = residuals(q_cw, t_cw, lm)
+        w = huber_weights(r, delta, obs.w)
+        Jp = Jp * pf_obs[:, None, None]
+        Jl = Jl * lf_obs[:, None, None]
+        wJp = Jp * w[:, None, None]
+        wJl = Jl * w[:, None, None]
+
+        U = segment_sum(jnp.einsum("oki,okj->oij", wJp, Jp),
+                        obs.kf, num_segments=K)            # [K,6,6]
+        V = segment_sum(jnp.einsum("oki,okj->oij", wJl, Jl),
+                        obs.lm, num_segments=L)            # [L,3,3]
+        W = segment_sum(jnp.einsum("oki,okj->oij", wJp, Jl),
+                        seg_kl, num_segments=K * L).reshape(K, L, 6, 3)
+        b_p = -segment_sum(jnp.einsum("oki,ok->oi", wJp, r),
+                           obs.kf, num_segments=K)         # [K,6]
+        b_l = -segment_sum(jnp.einsum("oki,ok->oi", wJl, r),
+                           obs.lm, num_segments=L)         # [L,3]
+
+        eyeK, eyeL = jnp.eye(6), jnp.eye(3)
+        Ud = U + lam * U * eyeK + 1e-8 * eyeK
+        Vd = V + lam * V * eyeL + 1e-8 * eyeL
+        Vinv = _inv3x3(Vd)
+
+        WVi = jnp.einsum("klim,lmn->klin", W, Vinv)        # [K,L,6,3]
+        S = -jnp.einsum("alin,bljn->aibj", WVi, W)         # [K,6,K,6]
+        S = S.reshape(K * 6, K * 6)
+        idx = jnp.arange(K * 6).reshape(K, 6)
+        S = S.at[idx[:, :, None], idx[:, None, :]].add(Ud)
+        rhs = (b_p - jnp.einsum("klin,ln->ki", WVi, b_l)).reshape(-1)
+
+        # fixed poses: identity rows/cols force dx = 0
+        free6 = jnp.repeat(pose_free, 6)
+        S = jnp.where(free6[:, None] & free6[None, :], S, 0.0)
+        S = S + jnp.diag(jnp.where(free6, 0.0, 1.0))
+        rhs = jnp.where(free6, rhs, 0.0)
+
+        dp = jnp.linalg.solve(S, rhs).reshape(K, 6)
+        dp = dp * pose_free[:, None]
+
+        # back-substitute landmarks
+        a2 = jnp.einsum("oki,oi->ok", Jp, dp[obs.kf])
+        z2 = segment_sum(jnp.einsum("oki,ok->oi", wJl, a2),
+                         obs.lm, num_segments=L)
+        dl = jnp.einsum("lij,lj->li", Vinv, b_l - z2) * lm_free[:, None]
+
+        dpose = se3_exp(dp)
+        tcw_new = pose_compose(dpose, Pose(q=q_cw, t=t_cw))
+        lm_new = lm + dl
+        new_cost = cost_of(tcw_new.q, tcw_new.t, lm_new)
+
+        accept = new_cost < cost
+        q_out = jnp.where(accept, tcw_new.q, q_cw)
+        t_out = jnp.where(accept, tcw_new.t, t_cw)
+        lm_out = jnp.where(accept, lm_new, lm)
+        cost_out = jnp.where(accept, new_cost, cost)
+        lam_out = jnp.where(accept, lam * cfg.lambda_down,
+                            lam * cfg.lambda_up)
+        lam_out = jnp.clip(lam_out, 1e-9, 1e6)
+        # converged: an ACCEPTED step improved the cost by < ftol (Ceres'
+        # function_tolerance stop, the part a fixed-length scan cannot do)
+        done = accept & (cost - new_cost <= 1e-5 * cost)
+        return q_out, t_out, lm_out, lam_out, cost_out, done
+
+    cost0 = cost_of(tcw0.q, tcw0.t, lm_pos)
+
+    # lax.while_loop: device-side early exit — local windows typically
+    # converge in ~4-6 iterations, and per-keyframe BA latency is on the
+    # tracking critical path
+    def w_cond(carry):
+        it, done, *_ = carry
+        return (~done) & (it < cfg.max_iterations)
+
+    def w_body(carry):
+        it, _, q_cw, t_cw, lm, lam, cost = carry
+        q_cw, t_cw, lm, lam, cost, done = lm_step(
+            (q_cw, t_cw, lm, lam, cost), None)
+        return (it + 1, done, q_cw, t_cw, lm, lam, cost)
+
+    init = (jnp.int32(0), jnp.array(False), tcw0.q, tcw0.t, lm_pos,
+            jnp.float32(cfg.init_lambda), cost0)
+    _, _, q_cw, t_cw, lm_out, _, cost_end = lax.while_loop(
+        w_cond, w_body, init)
+
+    wc = pose_inverse(Pose(q=quat_normalize(q_cw), t=t_cw))
+    stats = BAStats(
+        initial_cost=cost0,
+        final_cost=cost_end,
+        n_active_obs=jnp.sum((obs.w > 0).astype(jnp.int32)),
+        n_outliers=jnp.int32(0),
+        cg_residual=jnp.float32(0.0),
+    )
+    return wc.q, wc.t, lm_out, stats
+
+
 # ---------------------------------------------------------------------------
 # engine-facing wrappers
 # ---------------------------------------------------------------------------
@@ -287,18 +423,103 @@ def ba_solve(
 def make_local_ba(cfg: SlamConfig) -> Callable:
     """Local BA over the new keyframe's 1-hop covisibility window
     (ceres_backend.cpp:162-171 intent).  Returns jitted
-    fn(arena, state, kf_slot) -> (arena, state)."""
+    fn(arena, state, kf_slot) -> (arena, state).
+
+    The window is COMPACTED into small static buffers (local_*_cap) and
+    the LM solve runs on the compacted problem, so per-keyframe BA cost
+    scales with the window, not the arena capacity.  Window semantics
+    match the reference's CeresVisitor: only observations *from window
+    keyframes* enter the problem (basic_map.cpp:166-183).  Gauge: the
+    oldest keyframe in the window is held fixed — a superset of the
+    reference's fix-keyframe-1 rule (ceres_backend.cpp:155-159), which
+    leaves the problem gauge-free whenever keyframe 1 is outside the
+    window."""
+    import dataclasses
+
     cam = camera_from_config(cfg.camera)
-    bcfg = cfg.backend
+    bcfg = dataclasses.replace(
+        cfg.backend, max_iterations=cfg.backend.local_max_iterations)
+    mcfg = cfg.map
+    Kc = min(bcfg.local_kf_cap, mcfg.max_keyframes)
+    Lc = min(bcfg.local_lm_cap, mcfg.max_landmarks)
+    Oc = min(bcfg.local_obs_cap, mcfg.max_observations)
 
     def local_ba(arena: MapArena, state: TrackState, kf_slot: Array):
+        K, L, O = (arena.max_keyframes, arena.max_landmarks,
+                   arena.max_observations)
         window = khop_keyframes(arena, kf_slot, bcfg.local_window_depth)
+        window = window & arena.kf_valid
         lm_active = visible_landmarks(arena, window)
-        obs_active = arena.obs_valid & lm_active[arena.obs_lm]
-        slot0 = jnp.arange(arena.max_keyframes) == 0
-        pose_free = window & ~slot0
-        arena, _ = ba_solve(cam, arena, pose_free, lm_active, obs_active,
-                            bcfg, residual_type=bcfg.local_residual)
+        obs_active = (arena.obs_valid & window[arena.obs_kf]
+                      & lm_active[arena.obs_lm])
+
+        # --- compact: full slots -> [Kc]/[Lc]/[Oc] local problem ----------
+        kf_idx = jnp.nonzero(window, size=Kc, fill_value=K)[0]
+        lm_idx = jnp.nonzero(lm_active, size=Lc, fill_value=L)[0]
+        obs_idx = jnp.nonzero(obs_active, size=Oc, fill_value=O)[0]
+        kf_ok = kf_idx < K
+        lm_ok = lm_idx < L
+
+        inv_kf = jnp.full((K,), Kc, jnp.int32).at[kf_idx].set(
+            jnp.arange(Kc, dtype=jnp.int32), mode="drop")
+        inv_lm = jnp.full((L,), Lc, jnp.int32).at[lm_idx].set(
+            jnp.arange(Lc, dtype=jnp.int32), mode="drop")
+
+        kf_g = jnp.clip(kf_idx, 0, K - 1)
+        lm_g = jnp.clip(lm_idx, 0, L - 1)
+        obs_g = jnp.clip(obs_idx, 0, O - 1)
+        kf_q = arena.kf_q[kf_g]
+        kf_t = arena.kf_t[kf_g]
+        lm_pos = arena.lm_pos[lm_g]
+
+        o_kf = inv_kf[arena.obs_kf[obs_g]]
+        o_lm = inv_lm[arena.obs_lm[obs_g]]
+        ok = (obs_idx < O) & (o_kf < Kc) & (o_lm < Lc)
+        uv = arena.obs_uv[obs_g]
+        depth = arena.obs_depth[obs_g]
+        from modular_slam_tpu.geometry.camera import backproject
+        from modular_slam_tpu.backend.residuals import ObsData
+
+        obs = ObsData(
+            kf=jnp.where(ok, o_kf, 0),
+            lm=jnp.where(ok, o_lm, 0),
+            p_obs=backproject(cam, uv, depth),
+            uv=uv,
+            w=ok.astype(jnp.float32),
+        )
+
+        # gauge: local slot 0 = oldest window keyframe (nonzero ascending)
+        pose_free = kf_ok & (jnp.arange(Kc) != 0)
+        q_n, t_n, lm_n, _ = ba_core_dense(
+            cam, kf_q, kf_t, lm_pos, obs, pose_free, lm_ok, bcfg,
+            residual_type=bcfg.local_residual,
+        )
+
+        # --- outlier classification on the compacted window ---------------
+        tcw = pose_inverse(Pose(q=q_n, t=t_n))
+        R = quat_to_matrix(tcw.q)
+        from modular_slam_tpu.backend.residuals import (
+            point2point_residuals as p2p)
+
+        r, _, _ = p2p(R, tcw.t, lm_n, obs)
+        bad_local = ((obs.w > 0)
+                     & (jnp.sum(r * r, axis=-1)
+                        > bcfg.outlier_threshold_m ** 2))
+        bad_slot = jnp.where(bad_local, obs_idx, O)
+        obs_valid = arena.obs_valid.at[bad_slot].set(False, mode="drop")
+        inc = arena.inc.at[
+            jnp.where(bad_local, arena.obs_kf[obs_g], K),
+            jnp.where(bad_local, arena.obs_lm[obs_g], L),
+        ].set(False, mode="drop")
+
+        # --- scatter the window back into the arena ------------------------
+        arena = arena._replace(
+            kf_q=arena.kf_q.at[kf_idx].set(q_n, mode="drop"),
+            kf_t=arena.kf_t.at[kf_idx].set(t_n, mode="drop"),
+            lm_pos=arena.lm_pos.at[lm_idx].set(lm_n, mode="drop"),
+            obs_valid=obs_valid,
+            inc=inc,
+        )
         # current sensor pose rides the just-optimized newest keyframe
         new_pose = Pose(q=arena.kf_q[kf_slot], t=arena.kf_t[kf_slot])
         state = state._replace(pose=new_pose)

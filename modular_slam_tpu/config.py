@@ -136,6 +136,16 @@ class BackendConfig:
     max_iterations: int = 20
     cg_iters: int = 40           # PCG iterations per LM step (static)
     local_window_depth: int = 1
+    # windowed local BA: the covisibility window is compacted into small
+    # static buffers so per-keyframe BA cost scales with the WINDOW size,
+    # not the arena capacity (a full-capacity sweep took ~3.2 s/call on a
+    # v5e at the 131072-observation default; the compacted window is ms).
+    # Active elements beyond a cap are dropped from that solve (the next
+    # keyframe's BA sees them again).
+    local_max_iterations: int = 10
+    local_kf_cap: int = 16
+    local_lm_cap: int = 4096
+    local_obs_cap: int = 8192
     # residual forms ("p2p" | "reproj" | "rgbd"): local BA keeps the
     # reference's 3D point-to-point residual (ceres_backend.cpp:19-60);
     # global BA uses the hybrid RGB-D residual — pixel coordinates are the
@@ -167,6 +177,14 @@ class LoopConfig:
 
     vocab_size: int = 1024
     top_k: int = 3
+    # BoW score gate before geometric verification.  Calibration on
+    # rendered same-place/different-place keyframe pairs with the trained
+    # codebook (tools/train_vocab.py) shows the score SCALE is
+    # resolution/detector dependent (same-place median ~0.63 at 640x480 /
+    # 8 levels, ~0.38 at 320x240 / 4 levels), so the default stays a
+    # recall-first gate and geometric verification (loop/detector.py) is
+    # the precision stage.  For fixed 640x480 deployments the sweep's
+    # high-precision point is 0.55-0.60 (recall 0.96-0.75, fp 0.32-0.02).
     min_score: float = 0.15
     min_gap_keyframes: int = 20   # don't match temporally adjacent KFs
     min_inliers: int = 25

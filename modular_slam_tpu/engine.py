@@ -260,6 +260,15 @@ class SlamSystem:
         )
 
     # -- chunked engine loop (throughput path) -------------------------------
+    def process_chunk_device(self, grays, depths, times) -> List[SlamResult]:
+        """process_chunk for inputs ALREADY staged on device:
+        grays/depths [C,H,W] float32, times [C] (host list or array).
+        Skips the host->device frame transfer — use when a prefetching
+        loader (io/native.py) or the benchmark stages frames ahead."""
+        times_host = [float(t) for t in np.asarray(times)]
+        return self._process_chunk_core(
+            grays, depths, jnp.asarray(times, jnp.float32), times_host)
+
     def process_chunk(self, rgbs, depths, timestamps) -> List[SlamResult]:
         """Process C frames in ONE device dispatch (lax.scan), then sync
         the chunk's TrackResults to host ONCE and run the keyframe-rate
@@ -274,18 +283,24 @@ class SlamSystem:
         chunk boundaries — the reference's own intended async backend
         ("TODO: run as std::async", slam.hpp:94) has the same property.
         """
-        from modular_slam_tpu.io.tum import frame_to_device
+        # ONE host->device transfer per modality for the whole chunk; luma
+        # (frame.cpp:6-27 weights) as one fused batched dot on device
+        rgb_d = jnp.asarray(np.stack([np.asarray(r) for r in rgbs]))
+        w = jnp.array([0.299, 0.587, 0.114], dtype=jnp.float32)
+        grays = jnp.tensordot(rgb_d.astype(jnp.float32), w, axes=([-1], [0]))
+        deps = jnp.asarray(np.stack([np.asarray(d) for d in depths]),
+                           dtype=jnp.float32)
+        times_host = [float(t) for t in timestamps]
+        return self._process_chunk_core(
+            grays, deps, jnp.asarray(times_host, jnp.float32), times_host)
 
-        C = len(timestamps)
+    def _process_chunk_core(self, grays, deps, times,
+                            times_host) -> List[SlamResult]:
+        C = len(times_host)
         need_feats = self._loop is not None
         if self._scan is None:
             self._scan = make_slam_scan(self.cfg, self.components,
                                         with_features=need_feats)
-        devframes = [frame_to_device(r, d, t)
-                     for r, d, t in zip(rgbs, depths, timestamps)]
-        grays = jnp.stack([f.gray for f in devframes])
-        deps = jnp.stack([f.depth for f in devframes])
-        times = jnp.asarray([float(t) for t in timestamps], jnp.float32)
         self._key, sub = jax.random.split(self._key)
         keys = jax.random.split(sub, C)
 
@@ -296,7 +311,10 @@ class SlamSystem:
         else:
             results, feats = out, None
 
-        # ---- the chunk's single host sync --------------------------------
+        # ---- the chunk's single host sync ---------------------------------
+        # everything below is HOST-side numpy: no per-frame device slicing
+        # or host->device Pose staging (each such op is a device dispatch —
+        # through a TPU tunnel that alone dominated the chunk wall-time)
         host = jax.device_get(
             (results.pose.q, results.pose.t, results.tracking_ok,
              results.new_keyframe, results.kf_slot, results.n_matches,
@@ -305,12 +323,14 @@ class SlamSystem:
 
         codes: List[SlamResult] = []
         for i in range(C):
-            pose = Pose(q=jnp.asarray(qs[i]), t=jnp.asarray(ts_[i]))
-            self.trajectory.append((float(timestamps[i]), pose))
-            self.results.append(jax.tree_util.tree_map(
-                lambda x, i=i: x[i], results))
+            pose = Pose(q=qs[i], t=ts_[i])
+            self.trajectory.append((times_host[i], pose))
+            self.results.append(TrackResult(
+                pose=pose, n_matches=n_m[i], n_inliers=n_i[i],
+                tracking_ok=ok[i], new_keyframe=new_kf[i],
+                kf_slot=kf_slots[i]))
             for fn in self._frame_observers:
-                fn(float(timestamps[i]), pose, self.results[-1])
+                fn(times_host[i], pose, self.results[-1])
             codes.append(SlamResult.SUCCESS if ok[i]
                          else SlamResult.NO_CONSTRAINTS)
 

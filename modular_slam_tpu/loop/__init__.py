@@ -1,4 +1,9 @@
-from modular_slam_tpu.loop.vocab import make_vocab, bow_histogram  # noqa: F401
+from modular_slam_tpu.loop.vocab import (  # noqa: F401
+    bow_histogram,
+    load_trained_vocab,
+    make_vocab,
+    train_vocab,
+)
 from modular_slam_tpu.loop.detector import (  # noqa: F401
     LoopDatabase,
     empty_database,

@@ -34,7 +34,7 @@ from modular_slam_tpu.loop.detector import (
     relative_pose,
 )
 from modular_slam_tpu.loop.relocalizer import make_relocalizer
-from modular_slam_tpu.loop.vocab import bow_histogram, make_vocab
+from modular_slam_tpu.loop.vocab import bow_histogram, load_trained_vocab
 from modular_slam_tpu.map.arena import MapArena
 from modular_slam_tpu.types import Features
 
@@ -47,7 +47,7 @@ class LoopPipeline:
     def __init__(self, cfg: SlamConfig):
         self.cfg = cfg
         self.cam = camera_from_config(cfg.camera)
-        self._vocab = make_vocab(cfg.loop.vocab_size)
+        self._vocab = load_trained_vocab(cfg.loop.vocab_size)
         self.db = empty_database(cfg.map.max_keyframes, cfg.loop.vocab_size)
         self.edges: PoseGraphEdges = empty_edges(4 * cfg.map.max_keyframes)
         self._n_edges = 0

@@ -23,7 +23,7 @@ from modular_slam_tpu.loop.detector import (
     geometric_verify,
     query_candidates,
 )
-from modular_slam_tpu.loop.vocab import bow_histogram, make_vocab
+from modular_slam_tpu.loop.vocab import bow_histogram, load_trained_vocab
 from modular_slam_tpu.map.arena import MapArena
 from modular_slam_tpu.types import Features
 
@@ -35,7 +35,7 @@ def make_relocalizer(cfg: SlamConfig) -> Callable:
     (ok, pose, kf_slot, n_inliers): try the top-k BoW candidates in
     order, accept the first that verifies geometrically."""
     cam = camera_from_config(cfg.camera)
-    vocab = make_vocab(cfg.loop.vocab_size)
+    vocab = load_trained_vocab(cfg.loop.vocab_size)
 
     def relocalize(arena: MapArena, db: LoopDatabase, feats: Features,
                    key: Array):

@@ -1,3 +1,6 @@
 from modular_slam_tpu.parallel.mesh import make_mesh, obs_sharded_specs  # noqa: F401
 from modular_slam_tpu.parallel.sharded_ba import make_sharded_global_ba  # noqa: F401
-from modular_slam_tpu.parallel.dp import make_batch_slam_step  # noqa: F401
+from modular_slam_tpu.parallel.dp import (  # noqa: F401
+    make_batch_slam_scan,
+    make_batch_slam_step,
+)

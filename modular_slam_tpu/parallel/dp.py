@@ -54,6 +54,48 @@ def make_batch_slam_step(cfg: SlamConfig, mesh: Mesh,
     return step
 
 
+def make_batch_slam_scan(cfg: SlamConfig, mesh: Mesh,
+                         axis: str = "seq") -> Callable:
+    """Chunked batched step: lax.scan of the vmapped engine step over a
+    leading chunk axis — C frames of B sequences in ONE dispatch.
+
+    fn(arenas, states, grays [C,B,H,W], depths [C,B,H,W], times [C,B],
+    keys [C,B,2]) -> (arenas, states, results [C,B]).  The per-sequence
+    axis is pinned to the mesh `axis` so the batch never gathers onto one
+    device; the scan removes the per-frame host dispatch that made the
+    multi-sequence path structurally slower than the single-sequence scan.
+    """
+    cam = camera_from_config(cfg.camera)
+
+    def one(arena, state, gray, depth, time, key):
+        feats = detect(gray, depth, cfg.detector)
+        return track_frame(arena, state, feats, cam, cfg, time, key)
+
+    batched = jax.vmap(one)
+
+    def constrain(tree):
+        return jax.tree.map(
+            lambda x: jax.lax.with_sharding_constraint(
+                x, NamedSharding(mesh, P(axis, *([None] * (x.ndim - 1))))),
+            tree,
+        )
+
+    @jax.jit
+    def scan_fn(arenas, states, grays, depths, times, keys):
+        def body(carry, frame):
+            arenas, states = carry
+            g, d, t, k = frame
+            a, s, r = batched(arenas, states, constrain(g), constrain(d),
+                              t, k)
+            return (constrain(a), constrain(s)), r
+
+        (arenas, states), results = jax.lax.scan(
+            body, (arenas, states), (grays, depths, times, keys))
+        return arenas, states, results
+
+    return scan_fn
+
+
 def make_batch_init(cfg: SlamConfig, mesh: Mesh, batch: int,
                     axis: str = "seq"):
     """Replicated-per-sequence empty arenas + states, sharded over `axis`."""

@@ -1,5 +1,6 @@
 """Multi-device sharding on the 8-device virtual CPU mesh: sharded Schur
-BA matches single-device BA; DP tracking runs batched."""
+BA matches single-device BA; DP tracking runs batched, multi-frame, with
+divergent per-sequence trajectories matching their single-device runs."""
 
 import numpy as np
 import jax
@@ -12,6 +13,7 @@ from modular_slam_tpu.config import (
 )
 from modular_slam_tpu.parallel import (
     make_mesh, make_sharded_global_ba, make_batch_slam_step,
+    make_batch_slam_scan,
 )
 from modular_slam_tpu.parallel.dp import make_batch_init
 from modular_slam_tpu.backend.ba import make_global_ba
@@ -75,3 +77,136 @@ def test_dp_batched_tracking():
     assert np.array(arenas.n_kf).tolist() == [1] * 8
     assert bool(np.array(results.tracking_ok).all())
     assert np.array(states.frame_idx).tolist() == [1] * 8
+
+
+# ---------------------------------------------------------------------------
+# multi-frame DP correctness (VERDICT r1 item 5)
+# ---------------------------------------------------------------------------
+
+N_SEQ = 8
+N_FRAMES = 32
+
+
+def _dp_cfg():
+    # tiny frames: a finer selection grid (cell 12, 2/cell) replaces the
+    # 640x480-tuned default (cell 32) that leaves only ~15 cells at
+    # 160x120, and the test scenes use a coarser texture (ppm 120) so
+    # blobs span >1 px at this resolution
+    return SlamConfig(
+        camera=CameraConfig(fx=160.0, fy=160.0, cx=79.5, cy=59.5,
+                            width=160, height=120),
+        detector=DetectorConfig(n_levels=2, max_keypoints=192,
+                                cell_size=12, max_per_cell=2),
+        map=MapConfig(max_keyframes=16, max_landmarks=2048,
+                      max_observations=8192),
+        pnp=PnpConfig(n_hypotheses=32),
+        backend=BackendConfig(max_iterations=6),
+    )
+
+
+@pytest.fixture(scope="module")
+def divergent_scenes():
+    """8 sequences with DIVERGENT trajectories (different textures, step
+    directions and magnitudes) -> [N_FRAMES, 8, H, W] stacks + GT."""
+    from modular_slam_tpu.eval.synthetic import PlaneSceneGenerator
+
+    cfg = _dp_cfg()
+    w = np.array([0.299, 0.587, 0.114], np.float32)
+    grays, depths, gts = [], [], []
+    for b in range(N_SEQ):
+        gen = PlaneSceneGenerator(cfg.camera, seed=100 + b,
+                                  texture_ppm=120.0)
+        sign = 1.0 if b % 2 == 0 else -1.0
+        poses = gen.trajectory(
+            N_FRAMES,
+            step_t=(sign * (0.004 + 0.002 * b), 0.003 * sign, 0.001 * b),
+            step_rot=(0.0005 * b, 0.001 * sign, 0.0))
+        frames = list(gen.sequence(poses))
+        grays.append(np.stack([f[0].astype(np.float32) @ w for f in frames]))
+        depths.append(np.stack([f[1] for f in frames]))
+        gts.append(np.stack([np.asarray(p.t) for p in poses]))
+    # [n, B, H, W]
+    grays = np.stack(grays, axis=1)
+    depths = np.stack(depths, axis=1)
+    times = np.tile(np.arange(N_FRAMES, dtype=np.float32)[:, None],
+                    (1, N_SEQ)) / 30.0
+    return cfg, grays, depths, times, np.stack(gts, axis=1)  # gt [n, B, 3]
+
+
+def test_dp_multiframe_matches_single_device(divergent_scenes):
+    """30+ frames of divergent per-sequence tracking on the 8-device mesh
+    match the single-device runs of the same frames + keys, and the
+    sequences really diverge."""
+    from modular_slam_tpu.engine import make_slam_scan
+    from modular_slam_tpu.frontend.tracker import initial_state
+    from modular_slam_tpu.map.arena import empty_arena
+
+    cfg, grays, depths, times, gt = divergent_scenes
+    mesh = make_mesh(seq=N_SEQ, obs=1)
+    scan = make_batch_slam_scan(cfg, mesh)
+    arenas, states = make_batch_init(cfg, mesh, batch=N_SEQ)
+    keys = jax.random.split(jax.random.PRNGKey(7), N_FRAMES * N_SEQ).reshape(
+        N_FRAMES, N_SEQ, 2)
+
+    arenas, states, results = scan(
+        arenas, states, jnp.asarray(grays), jnp.asarray(depths),
+        jnp.asarray(times), keys)
+    ok = np.asarray(results.tracking_ok)          # [n, B]
+    t_batched = np.asarray(results.pose.t)        # [n, B, 3]
+    assert ok.all(), f"batched tracking lost: {ok.sum()}/{ok.size}"
+    assert np.array(states.frame_idx).tolist() == [N_FRAMES] * N_SEQ
+
+    # tracks follow their own (divergent) ground truths
+    err = np.linalg.norm(t_batched - gt, axis=-1)  # [n, B]
+    assert err.max() < 0.12, f"max GT deviation {err.max():.4f}"
+    finals = t_batched[-1]                         # [B, 3]
+    d = np.linalg.norm(finals[:, None] - finals[None, :], axis=-1)
+    assert (d[np.triu_indices(N_SEQ, 1)] > 0.05).all(), (
+        "sequences did not diverge")
+
+    # per-sequence match vs the single-device scan with identical keys
+    single = make_slam_scan(cfg)
+    for b in range(0, N_SEQ, 3):  # spot-check 3 of 8 sequences
+        a1, s1, r1 = single(
+            empty_arena(cfg.map), initial_state(),
+            jnp.asarray(grays[:, b]), jnp.asarray(depths[:, b]),
+            jnp.asarray(times[:, b]), keys[:, b])
+        np.testing.assert_allclose(
+            np.asarray(r1.pose.t), t_batched[:, b], atol=5e-3,
+            err_msg=f"sequence {b} diverged from single-device run")
+        assert int(a1.n_kf) == int(np.array(arenas.n_kf)[b])
+
+
+def test_sharded_ba_on_tracked_arena(divergent_scenes):
+    """Sharded global BA on an arena that TRACKING produced (not a
+    hand-built one) matches single-device global BA."""
+    cfg, grays, depths, times, _ = divergent_scenes
+    mesh = make_mesh(seq=N_SEQ, obs=1)
+    scan = make_batch_slam_scan(cfg, mesh)
+    arenas, states = make_batch_init(cfg, mesh, batch=N_SEQ)
+    keys = jax.random.split(jax.random.PRNGKey(7), N_FRAMES * N_SEQ).reshape(
+        N_FRAMES, N_SEQ, 2)
+    arenas, states, _ = scan(
+        arenas, states, jnp.asarray(grays), jnp.asarray(depths),
+        jnp.asarray(times), keys)
+
+    # pick the sequence with the most keyframes -> a real multi-KF problem
+    n_kf = np.array(arenas.n_kf)
+    b = int(n_kf.argmax())
+    assert n_kf[b] >= 2, f"tracking produced too few keyframes: {n_kf}"
+    tracked = jax.tree_util.tree_map(lambda x: np.asarray(x[b]), arenas)
+    from modular_slam_tpu.map.arena import MapArena
+    arena1 = MapArena(*[jnp.asarray(x) for x in tracked])
+    arena2 = MapArena(*[jnp.asarray(x) for x in tracked])
+
+    ref_arena, ref_stats = make_global_ba(cfg)(arena1)
+    sh = make_sharded_global_ba(cfg, make_mesh(seq=1, obs=8))
+    sh_arena, sh_stats = sh(arena2)
+
+    np.testing.assert_allclose(np.array(ref_stats.initial_cost),
+                               np.array(sh_stats.initial_cost), rtol=1e-4)
+    np.testing.assert_allclose(np.array(ref_arena.kf_t),
+                               np.array(sh_arena.kf_t), atol=1e-4)
+    np.testing.assert_allclose(np.array(ref_arena.lm_pos),
+                               np.array(sh_arena.lm_pos), atol=1e-3)
+    assert float(sh_stats.final_cost) <= float(sh_stats.initial_cost)
