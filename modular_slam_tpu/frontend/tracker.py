@@ -40,7 +40,8 @@ from modular_slam_tpu.map.arena import (
     khop_keyframes,
     visible_landmarks,
 )
-from modular_slam_tpu.ops.match import dedupe_matches, match_descriptors
+from modular_slam_tpu.ops.match import dedupe_matches
+from modular_slam_tpu.ops.match_pallas import match_descriptors_fastest
 from modular_slam_tpu.ops.pnp import ransac_pnp
 from modular_slam_tpu.types import Features, TrackResult
 
@@ -113,7 +114,7 @@ def _track(
     # injected components (rgbd_feature_frontend.cpp:140-154 constructor
     # injection); None -> the built-in ops, closed over cfg
     if match_fn is None:
-        match_fn = lambda q, qv, t, tv: match_descriptors(  # noqa: E731
+        match_fn = lambda q, qv, t, tv: match_descriptors_fastest(  # noqa: E731
             q, qv, t, tv, cfg.matcher)
     if pnp_fn is None:
         pnp_fn = lambda pw, uv, pc, v, init, k: ransac_pnp(  # noqa: E731
@@ -174,7 +175,9 @@ def _track(
         inlier_lm = jnp.zeros(arena.max_landmarks, bool).at[
             jnp.where(pnp.inliers, matches.lm_slot, arena.max_landmarks)
         ].set(True, mode="drop")
-        votes = arena.inc.astype(jnp.int32) @ inlier_lm.astype(jnp.int32)
+        # f32 GEMV (int32 matmuls are not MXU-eligible); 0/1 sums are exact
+        votes = (arena.inc.astype(jnp.float32)
+                 @ inlier_lm.astype(jnp.float32)).astype(jnp.int32)
         votes = jnp.where(hop5 & arena.kf_valid, votes, -1)
         best = jnp.argmax(votes).astype(jnp.int32)
         ref = jnp.where(votes[best] > 0, best, state.ref_kf)

@@ -25,7 +25,8 @@ from modular_slam_tpu.config import SlamConfig
 from modular_slam_tpu.geometry.camera import Camera, backproject
 from modular_slam_tpu.geometry.se3 import Pose, pose_compose, pose_inverse
 from modular_slam_tpu.map.arena import MapArena
-from modular_slam_tpu.ops.match import dedupe_matches, match_descriptors
+from modular_slam_tpu.ops.match import dedupe_matches
+from modular_slam_tpu.ops.match_pallas import match_descriptors_fastest
 from modular_slam_tpu.ops.pnp import ransac_pnp
 from modular_slam_tpu.types import Features
 
@@ -86,7 +87,7 @@ def geometric_verify(
     solve the pose.  -> (ok, n_inliers, query_pose)."""
     kps = feats.keypoints
     lm_mask = arena.inc[cand_kf] & arena.lm_valid
-    matches = match_descriptors(
+    matches = match_descriptors_fastest(
         feats.descriptors.unpacked, kps.valid, arena.lm_desc, lm_mask,
         cfg.matcher,
     )

@@ -174,10 +174,13 @@ def covis_counts(arena: MapArena) -> Array:
     """[K, K] shared-landmark counts (diagonal = own landmark count).
 
     Reference: neighbours map joined through shared landmarks
-    (basic_map.cpp:141-164).  Here: one int matmul over the incidence.
-    """
-    m = arena.inc.astype(jnp.int32)
-    return m @ m.T
+    (basic_map.cpp:141-164).  Here: one matmul over the incidence —
+    bf16 inputs with f32 accumulation so it runs on the MXU (an int32
+    matmul is not MXU-eligible and cost ~1.4 ms/frame at default
+    capacities); 0/1 products accumulate exactly in f32."""
+    m = arena.inc.astype(jnp.bfloat16)
+    return jnp.matmul(m, m.T,
+                      preferred_element_type=jnp.float32).astype(jnp.int32)
 
 
 def khop_keyframes(arena: MapArena, kf_slot: Array, depth: int) -> Array:
@@ -187,19 +190,22 @@ def khop_keyframes(arena: MapArena, kf_slot: Array, depth: int) -> Array:
     """
     K = arena.max_keyframes
     adj = (covis_counts(arena) > 0) & arena.kf_valid[None, :] & arena.kf_valid[:, None]
-    adj_i = adj.astype(jnp.int32)
+    adj_f = adj.astype(jnp.float32)
     start = (jnp.arange(K) == kf_slot) & arena.kf_valid
 
     def body(_, visited):
-        return visited | ((adj_i @ visited.astype(jnp.int32)) > 0)
+        return visited | ((adj_f @ visited.astype(jnp.float32)) > 0)
 
     return lax.fori_loop(0, depth, body, start)
 
 
 def visible_landmarks(arena: MapArena, kf_mask: Array) -> Array:
-    """[L] bool — landmarks observed by any keyframe in kf_mask."""
-    hits = arena.inc.astype(jnp.int32).T @ kf_mask.astype(jnp.int32)
-    return (hits > 0) & arena.lm_valid
+    """[L] bool — landmarks observed by any keyframe in kf_mask.
+
+    Boolean any-reduction over the incidence rows (VPU elementwise +
+    sublane reduce) — an integer GEMV here would leave the MXU."""
+    hits = jnp.any(arena.inc & kf_mask[:, None], axis=0)
+    return hits & arena.lm_valid
 
 
 def apply_backend_update(

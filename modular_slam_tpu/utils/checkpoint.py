@@ -41,6 +41,17 @@ def save_checkpoint(path: str, system) -> None:
         out["loop.n_edges"] = np.int64(system._loop._n_edges)
         out["loop.prev_kf"] = np.int64(
             -1 if system._loop._prev_kf is None else system._loop._prev_kf)
+        out["loop.n_global_ba"] = np.int64(system._loop.n_global_ba)
+    # engine counters (a resumed run continues its statistics)
+    out["counters"] = np.array([
+        system.n_loop_closures, system.n_relocalizations,
+        system._kf_since_ba], np.int64)
+    # live-tuned runtime parameter values (utils/params.py): a resumed
+    # run keeps e.g. a tuned lba_max_num_iterations instead of silently
+    # reverting to the config default
+    out["params_json"] = np.frombuffer(json.dumps(
+        {k: system.params.get(k) for k in system.params.names()}
+    ).encode(), dtype=np.uint8)
     traj = np.array(
         [[t, *np.asarray(p.t), *np.asarray(p.q)] for t, p in system.trajectory],
         dtype=np.float64,
@@ -90,6 +101,18 @@ def load_checkpoint(path: str, system) -> None:
         system._loop._n_edges = int(data["loop.n_edges"])
         pk = int(data["loop.prev_kf"])
         system._loop._prev_kf = None if pk < 0 else pk
+        if "loop.n_global_ba" in data:
+            system._loop.n_global_ba = int(data["loop.n_global_ba"])
+    if "counters" in data:
+        c = data["counters"]
+        system.n_loop_closures = int(c[0])
+        system.n_relocalizations = int(c[1])
+        system._kf_since_ba = int(c[2])
+    if "params_json" in data:
+        vals = json.loads(bytes(data["params_json"]).decode())
+        for k, v in vals.items():
+            if k in system.params.names() and system.params.get(k) != v:
+                system.params.set(k, v)  # re-tunes + rebuilds the step
     traj = data["trajectory"]
     system.trajectory = [
         (float(r[0]), Pose(q=jnp.asarray(r[4:8], dtype=jnp.float32),

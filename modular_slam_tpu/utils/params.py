@@ -90,6 +90,9 @@ class ParameterRegistry:
     def has(self, key: str) -> bool:
         return key in self._params
 
+    def names(self) -> List[str]:
+        return list(self._params)
+
     def definitions(self) -> List[ParameterDefinition]:
         return list(self._params.values())
 

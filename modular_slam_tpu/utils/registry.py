@@ -71,6 +71,8 @@ def load_entry_point_plugins() -> int:
 def _register_builtins() -> None:
     from modular_slam_tpu.ops.detector import detect
     from modular_slam_tpu.ops.match import match_descriptors
+    from modular_slam_tpu.ops.match_pallas import (
+        match_descriptors_fastest, match_descriptors_pallas)
     from modular_slam_tpu.ops.pnp import ransac_pnp
     from modular_slam_tpu.io.tum import TumRgbdDataset
 
@@ -80,8 +82,19 @@ def _register_builtins() -> None:
 
     @register("matcher", "hamming_2nn")
     def _matcher(cfg):
+        # Pallas fused kernel on TPU, XLA formulation elsewhere
+        return lambda q, qv, t, tv: match_descriptors_fastest(
+            q, qv, t, tv, cfg.matcher)
+
+    @register("matcher", "hamming_2nn_xla")
+    def _matcher_xla(cfg):
         return lambda q, qv, t, tv: match_descriptors(q, qv, t, tv,
                                                       cfg.matcher)
+
+    @register("matcher", "hamming_2nn_pallas")
+    def _matcher_pallas(cfg):
+        return lambda q, qv, t, tv: match_descriptors_pallas(
+            q, qv, t, tv, cfg.matcher)
 
     @register("pnp", "ransac_3p")
     def _pnp(cfg):

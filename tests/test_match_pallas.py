@@ -1,0 +1,65 @@
+"""Golden test: the fused Pallas Hamming-2NN matcher matches the XLA
+formulation exactly (runs in Pallas interpret mode on the CPU test mesh;
+compiled on real TPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from modular_slam_tpu.config import MatcherConfig
+from modular_slam_tpu.ops.match import match_descriptors
+from modular_slam_tpu.ops.match_pallas import (
+    match_descriptors_pallas,
+    pallas_match_supported,
+)
+
+CFG = MatcherConfig()
+
+
+def _random_problem(seed, nq=128, nl=512, planted=32):
+    rng = np.random.default_rng(seed)
+    q = jnp.asarray(rng.integers(0, 2, (nq, 256)).astype(np.int8) * 2 - 1)
+    t = jnp.asarray(rng.integers(0, 2, (nl, 256)).astype(np.int8) * 2 - 1)
+    # plant near-duplicates so real ratio-test survivors exist
+    rows = rng.choice(nl, planted, replace=False)
+    qs = rng.choice(nq, planted, replace=False)
+    t = t.at[rows].set(q[qs])
+    qv = jnp.asarray(rng.random(nq) > 0.1)
+    tv = jnp.asarray(rng.random(nl) > 0.1)
+    return q, qv, t, tv
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_pallas_matches_xla(seed):
+    q, qv, t, tv = _random_problem(seed)
+    assert pallas_match_supported(q.shape[0], t.shape[0], q.shape[1])
+    mx = match_descriptors(q, qv, t, tv, CFG)
+    mp = match_descriptors_pallas(q, qv, t, tv, CFG)
+    np.testing.assert_array_equal(np.asarray(mx.valid), np.asarray(mp.valid))
+    v = np.asarray(mx.valid)
+    np.testing.assert_array_equal(np.asarray(mx.lm_slot)[v],
+                                  np.asarray(mp.lm_slot)[v])
+    np.testing.assert_allclose(np.asarray(mx.distance)[v],
+                               np.asarray(mp.distance)[v])
+    assert v.sum() >= 16  # planted duplicates survive the ratio test
+
+
+def test_pallas_multi_tile_merge():
+    """Global top-2 across tiles: best and second may live in different
+    tiles — exercise the merge epilogue with nl > one tile."""
+    q, qv, t, tv = _random_problem(7, nq=64, nl=1024)
+    mx = match_descriptors(q, qv, t, tv, CFG)
+    mp = match_descriptors_pallas(q, qv, t, tv, CFG)
+    np.testing.assert_array_equal(np.asarray(mx.valid), np.asarray(mp.valid))
+    v = np.asarray(mx.valid)
+    np.testing.assert_array_equal(np.asarray(mx.lm_slot)[v],
+                                  np.asarray(mp.lm_slot)[v])
+
+
+def test_supported_shapes():
+    assert pallas_match_supported(512, 16384, 256)
+    assert pallas_match_supported(128, 512, 256)
+    assert not pallas_match_supported(100, 16384, 256)   # Nq % 32
+    assert not pallas_match_supported(512, 1000, 256)    # L tiling
+    assert not pallas_match_supported(512, 16384, 100)   # bits % 128

@@ -6,7 +6,11 @@ and times each on the default device.  Run: python tools/bisect_track.py
 
 from __future__ import annotations
 
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
 
 import jax
 import jax.numpy as jnp

@@ -9,6 +9,10 @@ warmup) so optimization effort targets the actual bottleneck.  Run:
 from __future__ import annotations
 
 import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
 import time
 
 import jax
