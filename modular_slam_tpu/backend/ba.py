@@ -454,7 +454,17 @@ def make_local_ba(cfg: SlamConfig) -> Callable:
                       & lm_active[arena.obs_lm])
 
         # --- compact: full slots -> [Kc]/[Lc]/[Oc] local problem ----------
-        kf_idx = jnp.nonzero(window, size=Kc, fill_value=K)[0]
+        # keyframe slots are append-only, so slot order == recency.  When
+        # the covisibility window exceeds Kc, keep the Kc NEWEST slots
+        # (a plain nonzero(size=Kc) would keep the lowest slots and
+        # silently drop the keyframe whose insertion triggered this BA —
+        # advisor round-2 finding).  dynamic_slice of the full ascending
+        # index list keeps the result ascending, so local slot 0 stays
+        # the oldest *selected* keyframe (the gauge).
+        idx_all = jnp.nonzero(window, size=K, fill_value=K)[0]
+        n_w = jnp.sum(window.astype(jnp.int32))
+        start = jnp.maximum(n_w - Kc, 0)
+        kf_idx = lax.dynamic_slice(idx_all, (start,), (Kc,))
         lm_idx = jnp.nonzero(lm_active, size=Lc, fill_value=L)[0]
         obs_idx = jnp.nonzero(obs_active, size=Oc, fill_value=O)[0]
         kf_ok = kf_idx < K
@@ -488,7 +498,7 @@ def make_local_ba(cfg: SlamConfig) -> Callable:
             w=ok.astype(jnp.float32),
         )
 
-        # gauge: local slot 0 = oldest window keyframe (nonzero ascending)
+        # gauge: local slot 0 = oldest SELECTED window keyframe
         pose_free = kf_ok & (jnp.arange(Kc) != 0)
         q_n, t_n, lm_n, _ = ba_core_dense(
             cam, kf_q, kf_t, lm_pos, obs, pose_free, lm_ok, bcfg,

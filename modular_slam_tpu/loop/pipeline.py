@@ -52,14 +52,7 @@ class LoopPipeline:
         self.edges: PoseGraphEdges = empty_edges(4 * cfg.map.max_keyframes)
         self._n_edges = 0
         self._prev_kf: Optional[int] = None
-
-        vocab = self._vocab
-
-        @jax.jit
-        def _bow(desc_pm1, valid):
-            return bow_histogram(desc_pm1, valid, vocab)
-
-        self._bow = _bow
+        self._build_vocab_jits()
 
         @jax.jit
         def _query(db, hist, slot):
@@ -96,10 +89,31 @@ class LoopPipeline:
             return arena, new_pose, cost
 
         self._pgo = _pgo
-        self._reloc = make_relocalizer(cfg)
         self._gba = None          # global BA, built lazily on first closure
         self.n_global_ba = 0
         self.last_gba_stats = None
+
+    def _build_vocab_jits(self) -> None:
+        """(Re)build every jitted closure that bakes in the codebook."""
+        vocab = self._vocab
+
+        @jax.jit
+        def _bow(desc_pm1, valid):
+            return bow_histogram(desc_pm1, valid, vocab)
+
+        self._bow = _bow
+        self._reloc = make_relocalizer(self.cfg, vocab)
+
+    def set_vocab(self, vocab) -> None:
+        """Swap the BoW codebook.  The database histograms are only
+        meaningful against the codebook that produced them, so checkpoint
+        restore calls this with the SAVED vocab when it differs from the
+        packaged one (advisor round-2 finding: resuming under a different
+        codebook silently breaks loop/relocalization scores)."""
+        import numpy as _np
+
+        self._vocab = _np.asarray(vocab, _np.int8)
+        self._build_vocab_jits()
 
     # ------------------------------------------------------------------
     def on_new_keyframe(

@@ -30,12 +30,17 @@ from modular_slam_tpu.types import Features
 Array = jnp.ndarray
 
 
-def make_relocalizer(cfg: SlamConfig) -> Callable:
+def make_relocalizer(cfg: SlamConfig, vocab=None) -> Callable:
     """Returns jitted fn(arena, db, feats, key) ->
     (ok, pose, kf_slot, n_inliers): try the top-k BoW candidates in
-    order, accept the first that verifies geometrically."""
+    order, accept the first that verifies geometrically.
+
+    `vocab` overrides the packaged codebook — it MUST be the same
+    codebook the database histograms were built with (checkpoint resume
+    restores the saved vocab for exactly this reason)."""
     cam = camera_from_config(cfg.camera)
-    vocab = load_trained_vocab(cfg.loop.vocab_size)
+    if vocab is None:
+        vocab = load_trained_vocab(cfg.loop.vocab_size)
 
     def relocalize(arena: MapArena, db: LoopDatabase, feats: Features,
                    key: Array):

@@ -86,23 +86,22 @@ def dedupe_matches(m: Matches, n_train: int) -> Matches:
     The scatter path remains for very large N."""
     d = jnp.where(m.valid, m.distance, _BIG)
     N = d.shape[0]
+    # tie-breaks use INTEGER keys: a float `d + idx*eps` loses the epsilon
+    # below one ulp once d >= ~16, leaving equal-distance duplicates both
+    # "kept" (advisor round-2 finding).  Hamming distances are multiples
+    # of 0.5, so 2*d is exact in int32; (2*d)*N + query_idx is a total
+    # lexicographic (distance, query index) order.
+    qidx = jnp.arange(N, dtype=jnp.int32)
+    key = jnp.where(m.valid,
+                    (2.0 * d).astype(jnp.int32) * N + qidx,
+                    jnp.int32(2**31 - 1))
     if N <= 2048:
-        # total order (distance, query index); 1e-6*N << 0.5 (the Hamming
-        # distance quantum) so the epsilon never reorders real distances
-        key = d + jnp.arange(N, dtype=jnp.float32) * 1e-6
         same = (m.lm_slot[:, None] == m.lm_slot[None, :]) & m.valid[None, :]
         better = same & (key[None, :] < key[:, None])
         keep = m.valid & ~jnp.any(better, axis=1)
         return Matches(lm_slot=m.lm_slot, distance=m.distance, valid=keep)
-    # per-train best distance via scatter-min
-    best_per_train = jnp.full((n_train,), _BIG, dtype=d.dtype)
-    best_per_train = best_per_train.at[m.lm_slot].min(d)
-    keep = m.valid & (d <= best_per_train[m.lm_slot])
-    # break exact ties (two queries, same train, same distance): keep lowest
-    # query index via a tiny index-scaled epsilon ordering
-    qidx = jnp.arange(d.shape[0], dtype=jnp.float32)
-    d_tie = jnp.where(keep, d + qidx * 1e-6, _BIG)
-    best_tie = jnp.full((n_train,), _BIG, dtype=d.dtype)
-    best_tie = best_tie.at[m.lm_slot].min(d_tie)
-    keep = keep & (d_tie <= best_tie[m.lm_slot])
+    # per-train best key via scatter-min
+    best_key = jnp.full((n_train,), 2**31 - 1, dtype=jnp.int32)
+    best_key = best_key.at[m.lm_slot].min(key)
+    keep = m.valid & (key <= best_key[m.lm_slot])
     return Matches(lm_slot=m.lm_slot, distance=m.distance, valid=keep)

@@ -47,14 +47,22 @@ def _pick_tile(L: int) -> int:
     return 0
 
 
-def _tile_kernel(q_ref, t_ref, tv_ref, best_ref, idx_ref, second_ref,
-                 *, tile_l: int):
+def _tile_kernel(q_ref, t_ref, tv_ref, base_ref, best_ref, idx_ref,
+                 second_ref):
     """One landmark tile: distances on the MXU, top-2 min on the VPU.
 
-    q_ref:  [Nq, 256] int8 (±1)  — resident across grid steps
-    t_ref:  [TILE_L, 256] int8   — this tile's landmark descriptors
-    tv_ref: [1, TILE_L] int32    — validity mask row
-    outputs (per grid step g): best/idx/second rows [1, Nq]
+    q_ref:    [Nq, 256] int8 (±1)  — resident across grid steps
+    t_ref:    [TILE_L, 256] int8   — this tile's landmark descriptors
+    tv_ref:   [1, TILE_L] int32    — validity mask row
+    base_ref: [1, 1] int32         — this tile's global landmark offset
+    outputs:  best/idx/second blocked rows [1, Nq] (one per grid step)
+
+    Deliberately free of pl.program_id: jax's vmap batching rule for
+    pallas_call prepends the vmap axis to the grid without rewriting the
+    kernel body, so program_id(0) would become the BATCH index under
+    vmap (parallel/dp.py vmaps the tracking step).  The per-tile output
+    row and landmark base offset instead come from blocked BlockSpec
+    index maps, which the batching rule does rewrite correctly.
     """
     nbits = q_ref.shape[1]
     dot = jax.lax.dot_general(
@@ -71,12 +79,9 @@ def _tile_kernel(q_ref, t_ref, tv_ref, best_ref, idx_ref, second_ref,
     d2 = jnp.where(cols == arg[:, None], _BIG, d)
     second = jnp.min(d2, axis=1)
 
-    # outputs are full [G, Nq] blocks resident across grid steps; each
-    # step fills its own row (TPU grid steps run sequentially)
-    g = pl.program_id(0)
-    best_ref[pl.ds(g, 1), :] = best[None, :]
-    idx_ref[pl.ds(g, 1), :] = (arg + g * tile_l)[None, :]
-    second_ref[pl.ds(g, 1), :] = second[None, :]
+    best_ref[0, :] = best
+    idx_ref[0, :] = arg + base_ref[0, 0]
+    second_ref[0, :] = second
 
 
 @functools.partial(jax.jit, static_argnames=("tile_l", "interpret"))
@@ -86,9 +91,9 @@ def _match_tiles(q_pm1: Array, t_pm1: Array, t_valid: Array, tile_l: int,
     Nq, nbits = q_pm1.shape
     L = t_pm1.shape[0]
     G = L // tile_l
-    kernel = functools.partial(_tile_kernel, tile_l=tile_l)
+    base = (jnp.arange(G, dtype=jnp.int32) * tile_l)[:, None]  # [G,1]
     return pl.pallas_call(
-        kernel,
+        _tile_kernel,
         interpret=interpret,
         grid=(G,),
         in_specs=[
@@ -98,13 +103,15 @@ def _match_tiles(q_pm1: Array, t_pm1: Array, t_valid: Array, tile_l: int,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile_l), lambda g: (0, g),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda g: (g, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((G, Nq), lambda g: (0, 0),
+            pl.BlockSpec((1, Nq), lambda g: (g, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((G, Nq), lambda g: (0, 0),
+            pl.BlockSpec((1, Nq), lambda g: (g, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((G, Nq), lambda g: (0, 0),
+            pl.BlockSpec((1, Nq), lambda g: (g, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
@@ -112,7 +119,7 @@ def _match_tiles(q_pm1: Array, t_pm1: Array, t_valid: Array, tile_l: int,
             jax.ShapeDtypeStruct((G, Nq), jnp.int32),
             jax.ShapeDtypeStruct((G, Nq), jnp.float32),
         ],
-    )(q_pm1, t_pm1, t_valid.astype(jnp.int32)[None, :])
+    )(q_pm1, t_pm1, t_valid.astype(jnp.int32)[None, :], base)
 
 
 def match_descriptors_pallas(

@@ -42,6 +42,11 @@ def save_checkpoint(path: str, system) -> None:
         out["loop.prev_kf"] = np.int64(
             -1 if system._loop._prev_kf is None else system._loop._prev_kf)
         out["loop.n_global_ba"] = np.int64(system._loop.n_global_ba)
+        # the database histograms are only meaningful against the codebook
+        # that produced them — ship it with the checkpoint so a resume on
+        # an install with a different/missing packaged vocab still scores
+        # consistently (restore swaps it in via LoopPipeline.set_vocab)
+        out["loop.vocab"] = np.asarray(system._loop._vocab, np.int8)
     # engine counters (a resumed run continues its statistics)
     out["counters"] = np.array([
         system.n_loop_closures, system.n_relocalizations,
@@ -96,6 +101,11 @@ def load_checkpoint(path: str, system) -> None:
         from modular_slam_tpu.loop.detector import LoopDatabase
         from modular_slam_tpu.backend.posegraph import PoseGraphEdges
 
+        if "loop.vocab" in data:
+            saved_vocab = np.asarray(data["loop.vocab"], np.int8)
+            if not np.array_equal(saved_vocab,
+                                  np.asarray(system._loop._vocab, np.int8)):
+                system._loop.set_vocab(saved_vocab)
         system._loop.db = _unflatten(LoopDatabase, "loopdb.", data)
         system._loop.edges = _unflatten(PoseGraphEdges, "edges.", data)
         system._loop._n_edges = int(data["loop.n_edges"])

@@ -149,6 +149,45 @@ def test_ba_with_noise_and_outliers():
     assert dt1.max() < 8e-3, dt1
 
 
+def test_local_ba_overfull_window_keeps_newest_keyframe():
+    """When the 1-hop window exceeds local_kf_cap, the compaction must
+    keep the NEWEST slots — in particular the keyframe whose insertion
+    triggered the BA (advisor round-2 finding: ascending nonzero kept the
+    oldest slots and silently dropped the new keyframe every time)."""
+    from modular_slam_tpu.backend.ba import make_local_ba
+    from modular_slam_tpu.frontend.tracker import initial_state
+
+    n_kf = 8
+    cam, arena, gt_poses, _ = _build_problem(n_kf=n_kf, pose_noise=0.05,
+                                             seed=4)
+    cfg = SlamConfig(camera=CAM_CFG,
+                     backend=BackendConfig(max_iterations=8,
+                                           local_max_iterations=8,
+                                           local_kf_cap=4))
+    newest = n_kf - 1
+    gauge = n_kf - 4            # oldest of the 4 newest slots
+    t_before = np.array(arena.kf_t)
+    # the solve is gauge-anchored at slot 4 (itself noisy), so judge the
+    # newest keyframe by its pose RELATIVE to the gauge
+    gt_rel = np.array(gt_poses[newest].t) - np.array(gt_poses[gauge].t)
+    err_before = float(np.linalg.norm(
+        (t_before[newest] - t_before[gauge]) - gt_rel))
+    lba = make_local_ba(cfg)
+    arena2, state2 = lba(arena, initial_state(), jnp.int32(newest))
+    # all kfs covisible -> window = 8 > cap 4 -> selected = slots 4..7;
+    # slots 0..3 must be untouched, slot 4 is the gauge
+    np.testing.assert_allclose(np.array(arena2.kf_t[:5]), t_before[:5],
+                               atol=1e-7)
+    # the newest keyframe was IN the solve: its relative pose improved
+    t_after = np.array(arena2.kf_t)
+    err_after = float(np.linalg.norm(
+        (t_after[newest] - t_after[gauge]) - gt_rel))
+    assert err_after < err_before * 0.5, (err_before, err_after)
+    # state pose rides the optimized newest keyframe
+    np.testing.assert_allclose(np.array(state2.pose.t),
+                               np.array(arena2.kf_t[newest]), atol=1e-7)
+
+
 def test_local_ba_window_only_moves_window():
     from modular_slam_tpu.backend.ba import make_local_ba
     cam, arena, gt_poses, _ = _build_problem(seed=3)

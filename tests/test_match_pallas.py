@@ -57,6 +57,29 @@ def test_pallas_multi_tile_merge():
                                   np.asarray(mp.lm_slot)[v])
 
 
+def test_pallas_vmap_matches_xla():
+    """Batched (vmapped) kernel: jax's pallas batching rule prepends the
+    vmap axis to the grid; the kernel must not read pl.program_id(0) as
+    the tile index or batched matches corrupt (advisor round-2 finding —
+    the DP tracking path vmaps the matcher)."""
+    probs = [_random_problem(s, nq=64, nl=512) for s in (3, 4, 5, 6)]
+    q = jnp.stack([p[0] for p in probs])
+    qv = jnp.stack([p[1] for p in probs])
+    t = jnp.stack([p[2] for p in probs])
+    tv = jnp.stack([p[3] for p in probs])
+
+    mp = jax.vmap(
+        lambda a, b, c, d: match_descriptors_pallas(a, b, c, d, CFG)
+    )(q, qv, t, tv)
+    for i in range(len(probs)):
+        mx = match_descriptors(q[i], qv[i], t[i], tv[i], CFG)
+        np.testing.assert_array_equal(np.asarray(mx.valid),
+                                      np.asarray(mp.valid[i]))
+        v = np.asarray(mx.valid)
+        np.testing.assert_array_equal(np.asarray(mx.lm_slot)[v],
+                                      np.asarray(mp.lm_slot[i])[v])
+
+
 def test_supported_shapes():
     assert pallas_match_supported(512, 16384, 256)
     assert pallas_match_supported(128, 512, 256)

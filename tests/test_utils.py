@@ -238,3 +238,31 @@ def test_eval_report_outputs(tmp_path):
     d = np.random.default_rng(0).uniform(0, 5, (40, 60)).astype(np.float32)
     cm = render_depth_colormap(d, path=str(tmp_path / "d.png"))
     assert cm.shape == (40, 60, 3)
+
+
+def test_checkpoint_restores_vocab_on_mismatch(tmp_path):
+    """Advisor round-2 finding: db histograms scored against a different
+    codebook silently break loop detection.  The checkpoint carries the
+    vocab; a system constructed with a DIFFERENT codebook gets the saved
+    one swapped in on load."""
+    import numpy as np
+    from modular_slam_tpu.loop.vocab import make_vocab
+    from modular_slam_tpu.models.pipelines import full_slam_pipeline
+    from modular_slam_tpu.utils.checkpoint import (
+        save_checkpoint, load_checkpoint)
+    from tests.test_loop_e2e import _cfg
+
+    cfg = _cfg()
+    s1 = full_slam_pipeline(cfg)
+    path = str(tmp_path / "vocab_ckpt.npz")
+    save_checkpoint(path, s1)
+
+    s2 = full_slam_pipeline(_cfg())
+    # simulate an install whose packaged vocab differs (e.g. the npz
+    # artifact is absent and the random-projection fallback fired)
+    s2._loop.set_vocab(make_vocab(cfg.loop.vocab_size, seed=123))
+    assert not np.array_equal(np.asarray(s2._loop._vocab),
+                              np.asarray(s1._loop._vocab))
+    load_checkpoint(path, s2)
+    np.testing.assert_array_equal(np.asarray(s2._loop._vocab),
+                                  np.asarray(s1._loop._vocab))
