@@ -110,6 +110,22 @@ def make_slam_scan(cfg: SlamConfig, components=None, with_features=False):
     return jax.jit(slam_scan, donate_argnums=(0,))
 
 
+def _should_relocalize(ok: np.ndarray, n_inliers: np.ndarray,
+                       min_inliers: int) -> bool:
+    """Chunk-boundary relocalization trigger.
+
+    Fires when the chunk ENDS lost, but also when a mid-chunk loss only
+    "limped through": any lost frame earlier in the chunk with a weak
+    final frame (few inliers) is a kidnap that got lucky on the last
+    PnP, not a recovery — without this, a mid-chunk kidnap whose final
+    frame squeaks past would never attempt relocalization."""
+    if not ok[-1]:
+        return True
+    lost_any = bool((~np.asarray(ok)).any())
+    weak_end = int(n_inliers[-1]) < min_inliers
+    return lost_any and weak_end
+
+
 class SlamSystem:
     """Host-side orchestration: frame feed, trajectory collection, and
     (optionally) the BA backend + loop closure.
@@ -353,7 +369,9 @@ class SlamSystem:
                     self._kf_since_ba = 0
 
         # ---- relocalization at the chunk boundary -------------------------
-        if (not ok[-1] and self.enable_relocalization
+        if (_should_relocalize(ok, n_i,
+                               self.cfg.tracker.new_keyframe_min_inliers)
+                and self.enable_relocalization
                 and self._loop is not None):
             feats_last = (jax.tree_util.tree_map(lambda x: x[-1], feats)
                           if feats is not None else None)

@@ -142,11 +142,19 @@ class LoopPipeline:
         closed = False
         if run_loop_detection:
             scores, slots = self._query(self.db, hist, jnp.int32(kf_slot))
-            best_score = float(scores[0])
-            cand = int(slots[0])
-            if best_score >= self.cfg.loop.min_score:
+            scores_h, slots_h = jax.device_get((scores, slots))
+            # try EVERY top-k candidate above the score gate until one
+            # verifies geometrically — the relocalizer already scans all
+            # candidates (loop/relocalizer.py:50-74); detection previously
+            # gave up after the best-scoring one, so a single aliased
+            # top-1 killed closures candidate 2 would have confirmed
+            for best_score, cand in zip(map(float, scores_h),
+                                        map(int, slots_h)):
+                if best_score < self.cfg.loop.min_score or cand < 0:
+                    continue
+                key, sub = jax.random.split(key)
                 ok, n_inl, meas_pose = self._verify(
-                    arena, jnp.int32(cand), feats, key)
+                    arena, jnp.int32(cand), feats, sub)
                 if bool(ok):
                     # loop edge cand -> cur with the *measured* relative
                     # pose from geometric verification
@@ -164,6 +172,7 @@ class LoopPipeline:
                     if self.cfg.loop.global_ba_on_loop:
                         arena, state = self._run_global_ba(
                             arena, state, kf_slot)
+                    break
         return arena, state, closed
 
     def _run_global_ba(

@@ -110,3 +110,96 @@ def test_relocalization_after_kidnap():
     import jax.numpy as jnp
     pose = sys_.state.pose
     assert float(jnp.linalg.norm(pose.t - poses[0].t)) < 0.05
+
+
+def test_loop_closure_falls_back_past_corrupted_top1():
+    """VERDICT r2 weak #4: detection previously tried only the top-1 BoW
+    candidate.  Poison the query so rank 1 is a perfect-scoring but
+    geometrically WRONG keyframe — the closure must still fire via a
+    lower-ranked candidate, and no loop edge may touch the bogus slot."""
+    import dataclasses
+    import jax.numpy as jnp
+    from modular_slam_tpu.config import LoopConfig, TrackerConfig
+    cfg = dataclasses.replace(
+        _cfg(),
+        loop=LoopConfig(min_gap_keyframes=4, min_score=0.10, min_inliers=25),
+        tracker=TrackerConfig(new_keyframe_min_inliers=400),  # kf every frame
+    )
+    # wide texture + 0.5 m steps: the far-end keyframe (2.5 m away)
+    # shares NO ground with the start view, so verifying against it
+    # must fail geometrically
+    gen = PlaneSceneGenerator(cfg.camera, texture_ppm=250, seed=34)
+    out = gen.trajectory(6, step_t=(0.5, 0.0, 0.0))
+    back = out[::-1][1:]
+    poses = out + back
+    frames = list(gen.sequence(poses))
+    sys_ = SlamSystem(cfg, enable_backend=False, enable_loop_closure=True)
+    for f in frames[:-1]:
+        sys_.process(*f)
+
+    # poison: prepend the far-end keyframe as a perfect-scoring rank-1
+    far_slot = 5
+    orig_query = sys_._loop._query
+
+    def poisoned(db, hist, slot):
+        scores, slots = orig_query(db, hist, slot)
+        scores = jnp.concatenate([jnp.ones((1,), scores.dtype),
+                                  scores[:-1]])
+        slots = jnp.concatenate([jnp.asarray([far_slot], slots.dtype),
+                                 slots[:-1]])
+        return scores, slots
+
+    sys_._loop._query = poisoned
+    n_before = sys_.n_loop_closures
+    sys_.process(*frames[-1])
+    assert sys_.n_loop_closures > n_before, (
+        "closure must fire via a lower-ranked candidate")
+    # the bogus rank-1 candidate must have been REJECTED geometrically
+    edges = sys_._loop.edges
+    loop_i = np.asarray(edges.i)[np.asarray(edges.is_loop)
+                                 & (np.asarray(edges.weight) > 0)]
+    assert far_slot not in loop_i.tolist(), loop_i
+
+
+def test_chunk_relocalize_trigger_logic():
+    """VERDICT r2 weak #5: the chunked path must attempt relocalization
+    not only when the chunk's LAST frame is lost, but also when a
+    mid-chunk loss merely limped through with a weak final frame."""
+    from modular_slam_tpu.engine import _should_relocalize
+    ok = np.array([True, True, True, True])
+    ni = np.array([120, 110, 100, 90])
+    assert not _should_relocalize(ok, ni, 30)          # healthy chunk
+    ok2 = np.array([True, False, False, False])
+    assert _should_relocalize(ok2, ni, 30)             # ends lost
+    ok3 = np.array([True, False, False, True])
+    ni3 = np.array([120, 0, 0, 12])
+    assert _should_relocalize(ok3, ni3, 30)            # limped through
+    ni4 = np.array([120, 0, 0, 80])
+    assert not _should_relocalize(ok3, ni4, 30)        # true recovery
+
+
+def test_chunked_kidnap_relocalizes():
+    """Kidnap that lands MID-chunk on the chunked path: the whole tail of
+    the chunk tracks lost and relocalization recovers at the boundary."""
+    import dataclasses
+    import jax.numpy as jnp
+    from modular_slam_tpu.config import TrackerConfig
+    cfg = dataclasses.replace(
+        _cfg(), tracker=TrackerConfig(new_keyframe_min_inliers=400))
+    gen = PlaneSceneGenerator(cfg.camera, texture_ppm=250, seed=35)
+    poses = gen.trajectory(12, step_t=(0.5, 0.0, 0.0))
+    frames = list(gen.sequence(poses))
+    sys_ = SlamSystem(cfg, enable_backend=False, enable_relocalization=True)
+    for f in frames[:10]:
+        sys_.process(*f)
+    assert sys_.n_keyframes >= 8
+    # chunk = [far, kidnap-to-start, kidnap-to-start]: the kidnap lands
+    # mid-chunk, the final frame is also lost (start landmarks are outside
+    # 2-hop covisibility of the far-end reference keyframe)
+    chunk = [frames[10], frames[0], frames[0]]
+    rgbs = [c[0] for c in chunk]
+    depths = [c[1] for c in chunk]
+    tss = [frames[10][2], frames[10][2] + 0.1, frames[10][2] + 0.2]
+    sys_.process_chunk(rgbs, depths, tss)
+    assert sys_.n_relocalizations >= 1, "chunk-boundary reloc did not fire"
+    assert float(jnp.linalg.norm(sys_.state.pose.t - poses[0].t)) < 0.05
