@@ -89,7 +89,7 @@ class LoopPipeline:
             return arena, new_pose, cost
 
         self._pgo = _pgo
-        self._gba = None          # global BA, built lazily on first closure
+        self._gba_tiers = {}      # (Kt,Lt,Ot) -> compiled compact global BA
         self.n_global_ba = 0
         self.last_gba_stats = None
 
@@ -180,12 +180,21 @@ class LoopPipeline:
     ) -> Tuple[MapArena, TrackState]:
         """Loop-triggered global bundle adjustment — the reference's
         intended global BA on loop detection (ceres_backend.cpp:130-138,
-        deepLevel=max at :180), which its early return at :95 made dead."""
-        if self._gba is None:
-            from modular_slam_tpu.backend.ba import make_global_ba
+        deepLevel=max at :180), which its early return at :95 made dead.
 
-            self._gba = make_global_ba(self.cfg)
-        arena, stats = self._gba(arena)
+        The solve is COMPACTED to power-of-two caps covering the live
+        map (backend/ba.py:make_global_ba_compact), so a closure on a
+        64-keyframe map does not sweep the full 131072-slot capacity;
+        compiled instances are cached per tier."""
+        from modular_slam_tpu.backend.ba import (
+            global_ba_tier, make_global_ba_compact)
+
+        tier = global_ba_tier(arena)
+        gba = self._gba_tiers.get(tier)
+        if gba is None:
+            gba = self._gba_tiers[tier] = make_global_ba_compact(
+                self.cfg, tier)
+        arena, stats = gba(arena)
         self.n_global_ba += 1
         self.last_gba_stats = stats
         new_pose = Pose(q=arena.kf_q[kf_slot], t=arena.kf_t[kf_slot])

