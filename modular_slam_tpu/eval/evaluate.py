@@ -63,10 +63,38 @@ def _run_sequence(cfg, ds, pipeline: str, seed: int,
     }
 
 
+def _load_tum_trajectory(path: str) -> np.ndarray:
+    """[N, 8] rows `t x y z qx qy qz qw` (comments/headers skipped)."""
+    rows = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            parts = line.split()
+            if len(parts) >= 8:
+                rows.append([float(v) for v in parts[:8]])
+    if not rows:
+        raise ValueError(f"no trajectory rows in {path}")
+    return np.asarray(rows, np.float64)
+
+
+def _comparison_trajectory(spec_path: str, seq_name: str,
+                           n_datasets: int) -> Optional[str]:
+    """Resolve a --compare path for one sequence: a directory contains
+    `<seq>.txt` per sequence; a plain file applies when evaluating a
+    single dataset."""
+    if os.path.isdir(spec_path):
+        cand = os.path.join(spec_path, seq_name + ".txt")
+        return cand if os.path.exists(cand) else None
+    return spec_path if n_datasets == 1 else None
+
+
 def evaluate_datasets(dataset_dirs: List[str], out_dir: str,
                       pipeline: str = "slam", seed: int = 0,
                       max_frames: Optional[int] = None,
-                      multiseq: bool = False) -> Dict:
+                      multiseq: bool = False,
+                      compare: Optional[Dict[str, str]] = None) -> Dict:
     from modular_slam_tpu.config import SlamConfig
     from modular_slam_tpu.eval.ate import ate_rmse
     from modular_slam_tpu.eval.report import plot_trajectories, write_ate_csv
@@ -108,6 +136,23 @@ def evaluate_datasets(dataset_dirs: List[str], out_dir: str,
                 seq_report["ate_rmse"] = round(stats["rmse"], 5)
             except ValueError as e:
                 seq_report["ate_error"] = str(e)
+            # side-by-side third-party trajectories (reference parity:
+            # utils/tools/py/evaluate.py:125-235 docker-runs ORB-SLAM3 /
+            # stella_vslam; docker+network are unavailable here, so the
+            # harness instead ACCEPTS their externally produced TUM
+            # trajectory files and tabulates them against the same GT)
+            for other, spec in (compare or {}).items():
+                path = _comparison_trajectory(spec, name, len(dataset_dirs))
+                if path is None:
+                    continue
+                try:
+                    o_stats = ate_rmse(_load_tum_trajectory(path),
+                                       ds.groundtruth, max_difference=0.05)
+                    ate_rows[f"{name}:{other}"] = o_stats
+                    seq_report.setdefault("compare", {})[other] = round(
+                        o_stats["rmse"], 5)
+                except (OSError, ValueError) as e:
+                    seq_report.setdefault("compare_errors", {})[other] = str(e)
             try:
                 plot_trajectories(res["est"], ds.groundtruth, seq_dir,
                                   max_difference=0.05)
@@ -172,14 +217,27 @@ def main(argv=None) -> int:
     ap.add_argument("--multiseq", action="store_true",
                     help="also measure batched multi-sequence scaling")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--compare", action="append", default=[],
+                    metavar="NAME=PATH",
+                    help="tabulate an externally produced TUM trajectory "
+                         "side-by-side (PATH = file, or dir of <seq>.txt); "
+                         "repeatable, e.g. --compare orbslam3=runs/orb3")
     args = ap.parse_args(argv)
+
+    compare = {}
+    for spec in args.compare:
+        if "=" not in spec:
+            ap.error(f"--compare wants NAME=PATH, got {spec!r}")
+        k, v = spec.split("=", 1)
+        compare[k] = v
 
     from modular_slam_tpu.utils import setup_compile_cache
 
     setup_compile_cache()
     report = evaluate_datasets(
         args.datasets, args.out, pipeline=args.pipeline, seed=args.seed,
-        max_frames=args.max_frames, multiseq=args.multiseq)
+        max_frames=args.max_frames, multiseq=args.multiseq,
+        compare=compare or None)
     print(json.dumps(report, default=str))
     return 0
 

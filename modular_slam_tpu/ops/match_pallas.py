@@ -10,11 +10,22 @@ the [G, Nq] per-tile triples are merged by a tiny XLA epilogue.  One HBM
 pass over the descriptors, two kernels total, instead of one matmul +
 several full-matrix reduction kernels.
 
+Batching: pallas_call's generic vmap batching rule prepends the vmap
+axis to the grid WITHOUT rewriting the kernel body, so the kernel's
+pl.program_id(0) would silently become the batch index under jax.vmap
+(parallel/dp.py vmaps the tracking step) — corrupted matches (advisor
+round-2 finding).  The per-(1,·) BlockSpec workaround is not lowerable
+on Mosaic (block dims must divide (8,128) or equal the array dims), so
+the kernel keeps resident [G, Nq] outputs + program_id and the batched
+case is handled at the JAX level instead: _match_tiles is wrapped in
+jax.custom_batching.custom_vmap whose rule lax.maps the kernel over the
+batch axis — each element still runs the full-speed kernel with its
+own (G,) grid, and program_id stays the tile index.
+
 Semantics match ops/match.py::match_descriptors exactly (golden test in
-tests/test_match_pallas.py); `match_descriptors_fastest` dispatches to
-this kernel on TPU backends when shapes satisfy the tiling constraints
-and falls back to the XLA path otherwise (CPU tests, odd shapes, vmap
-inside the batched DP step on CPU meshes).
+tests/test_match_pallas.py, incl. under vmap); `match_descriptors_fastest`
+dispatches to this kernel on TPU backends when shapes satisfy the tiling
+constraints and falls back to the XLA path otherwise.
 """
 
 from __future__ import annotations
@@ -47,22 +58,14 @@ def _pick_tile(L: int) -> int:
     return 0
 
 
-def _tile_kernel(q_ref, t_ref, tv_ref, base_ref, best_ref, idx_ref,
-                 second_ref):
+def _tile_kernel(q_ref, t_ref, tv_ref, best_ref, idx_ref, second_ref,
+                 *, tile_l: int):
     """One landmark tile: distances on the MXU, top-2 min on the VPU.
 
-    q_ref:    [Nq, 256] int8 (±1)  — resident across grid steps
-    t_ref:    [TILE_L, 256] int8   — this tile's landmark descriptors
-    tv_ref:   [1, TILE_L] int32    — validity mask row
-    base_ref: [1, 1] int32         — this tile's global landmark offset
-    outputs:  best/idx/second blocked rows [1, Nq] (one per grid step)
-
-    Deliberately free of pl.program_id: jax's vmap batching rule for
-    pallas_call prepends the vmap axis to the grid without rewriting the
-    kernel body, so program_id(0) would become the BATCH index under
-    vmap (parallel/dp.py vmaps the tracking step).  The per-tile output
-    row and landmark base offset instead come from blocked BlockSpec
-    index maps, which the batching rule does rewrite correctly.
+    q_ref:  [Nq, 256] int8 (±1)  — resident across grid steps
+    t_ref:  [TILE_L, 256] int8   — this tile's landmark descriptors
+    tv_ref: [1, TILE_L] int32    — validity mask row
+    outputs (per grid step g): best/idx/second rows [1, Nq]
     """
     nbits = q_ref.shape[1]
     dot = jax.lax.dot_general(
@@ -79,21 +82,24 @@ def _tile_kernel(q_ref, t_ref, tv_ref, base_ref, best_ref, idx_ref,
     d2 = jnp.where(cols == arg[:, None], _BIG, d)
     second = jnp.min(d2, axis=1)
 
-    best_ref[0, :] = best
-    idx_ref[0, :] = arg + base_ref[0, 0]
-    second_ref[0, :] = second
+    # outputs are full [G, Nq] blocks resident across grid steps; each
+    # step fills its own row (TPU grid steps run sequentially).  Safe to
+    # use program_id here: batching never reaches this kernel (see
+    # module docstring / _match_tiles custom_vmap).
+    g = pl.program_id(0)
+    best_ref[pl.ds(g, 1), :] = best[None, :]
+    idx_ref[pl.ds(g, 1), :] = (arg + g * tile_l)[None, :]
+    second_ref[pl.ds(g, 1), :] = second[None, :]
 
 
-@functools.partial(jax.jit, static_argnames=("tile_l", "interpret"))
-def _match_tiles(q_pm1: Array, t_pm1: Array, t_valid: Array, tile_l: int,
-                 interpret: bool = False):
-    """-> per-tile (best [G,Nq], idx [G,Nq], second [G,Nq])."""
+def _match_tiles_impl(q_pm1: Array, t_pm1: Array, t_valid: Array,
+                      tile_l: int, interpret: bool):
     Nq, nbits = q_pm1.shape
     L = t_pm1.shape[0]
     G = L // tile_l
-    base = (jnp.arange(G, dtype=jnp.int32) * tile_l)[:, None]  # [G,1]
-    return pl.pallas_call(
-        _tile_kernel,
+    kernel = functools.partial(_tile_kernel, tile_l=tile_l)
+    return tuple(pl.pallas_call(
+        kernel,
         interpret=interpret,
         grid=(G,),
         in_specs=[
@@ -103,15 +109,13 @@ def _match_tiles(q_pm1: Array, t_pm1: Array, t_valid: Array, tile_l: int,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile_l), lambda g: (0, g),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda g: (g, 0),
-                         memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, Nq), lambda g: (g, 0),
+            pl.BlockSpec((G, Nq), lambda g: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Nq), lambda g: (g, 0),
+            pl.BlockSpec((G, Nq), lambda g: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Nq), lambda g: (g, 0),
+            pl.BlockSpec((G, Nq), lambda g: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
@@ -119,7 +123,43 @@ def _match_tiles(q_pm1: Array, t_pm1: Array, t_valid: Array, tile_l: int,
             jax.ShapeDtypeStruct((G, Nq), jnp.int32),
             jax.ShapeDtypeStruct((G, Nq), jnp.float32),
         ],
-    )(q_pm1, t_pm1, t_valid.astype(jnp.int32)[None, :], base)
+    )(q_pm1, t_pm1, t_valid.astype(jnp.int32)[None, :]))
+
+
+@functools.lru_cache(maxsize=None)
+def _match_tiles_batchable(tile_l: int, interpret: bool):
+    """custom_vmap wrapper (per static config): vmap lax.maps the kernel
+    over the batch axis instead of letting the pallas batching rule
+    prepend a grid axis the kernel body doesn't know about."""
+
+    @jax.custom_batching.custom_vmap
+    def match_tiles(q_pm1, t_pm1, t_valid):
+        return _match_tiles_impl(q_pm1, t_pm1, t_valid, tile_l, interpret)
+
+    @match_tiles.def_vmap
+    def _vmap_rule(axis_size, in_batched, q_pm1, t_pm1, t_valid):
+        qb, tb, vb = in_batched
+
+        def one(args):
+            q, t, v = args
+            return match_tiles(q, t, v)
+
+        def bcast(x, b):
+            return x if b else jax.tree_util.tree_map(
+                lambda a: jnp.broadcast_to(a, (axis_size,) + a.shape), x)
+
+        outs = jax.lax.map(one, (bcast(q_pm1, qb), bcast(t_pm1, tb),
+                                 bcast(t_valid, vb)))
+        return tuple(outs), (True, True, True)
+
+    return match_tiles
+
+
+@functools.partial(jax.jit, static_argnames=("tile_l", "interpret"))
+def _match_tiles(q_pm1: Array, t_pm1: Array, t_valid: Array, tile_l: int,
+                 interpret: bool = False):
+    """-> per-tile (best [G,Nq], idx [G,Nq], second [G,Nq])."""
+    return _match_tiles_batchable(tile_l, interpret)(q_pm1, t_pm1, t_valid)
 
 
 def match_descriptors_pallas(

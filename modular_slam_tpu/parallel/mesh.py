@@ -38,6 +38,23 @@ def make_mesh(
     return Mesh(arr, ("seq", "obs"))
 
 
+def make_kf_mesh(kf: int = 1, obs: Optional[int] = None,
+                 devices=None) -> Mesh:
+    """2-D mesh with axes ("kf", "obs") for keyframe-block sharded global
+    BA (parallel/kf_sharded_ba.py, BASELINE config 4): keyframe/landmark
+    state blocks over "kf", observation rows over both axes."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if obs is None:
+        if n % kf != 0:
+            raise ValueError(f"{n} devices not divisible by kf={kf}")
+        obs = n // kf
+    if kf * obs != n:
+        raise ValueError(f"mesh {kf}x{obs} != {n} devices")
+    arr = np.array(devices).reshape(kf, obs)
+    return Mesh(arr, ("kf", "obs"))
+
+
 def obs_sharded_specs():
     """PartitionSpecs for (replicated-map-state, obs-sharded-edge-list)."""
     return P(), P("obs")

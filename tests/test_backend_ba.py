@@ -173,7 +173,13 @@ def test_local_ba_overfull_window_keeps_newest_keyframe():
     err_before = float(np.linalg.norm(
         (t_before[newest] - t_before[gauge]) - gt_rel))
     lba = make_local_ba(cfg)
-    arena2, state2 = lba(arena, initial_state(), jnp.int32(newest))
+    # engine flow: at submit time the tracked pose IS the new keyframe's
+    # pose, so merge_window's delta correction lands it exactly on the
+    # optimized keyframe pose
+    from modular_slam_tpu.geometry.se3 import Pose as _Pose
+    state0 = initial_state()._replace(
+        pose=_Pose(q=arena.kf_q[newest], t=arena.kf_t[newest]))
+    arena2, state2 = lba(arena, state0, jnp.int32(newest))
     # all kfs covisible -> window = 8 > cap 4 -> selected = slots 4..7;
     # slots 0..3 must be untouched, slot 4 is the gauge
     np.testing.assert_allclose(np.array(arena2.kf_t[:5]), t_before[:5],
@@ -185,7 +191,7 @@ def test_local_ba_overfull_window_keeps_newest_keyframe():
     assert err_after < err_before * 0.5, (err_before, err_after)
     # state pose rides the optimized newest keyframe
     np.testing.assert_allclose(np.array(state2.pose.t),
-                               np.array(arena2.kf_t[newest]), atol=1e-7)
+                               np.array(arena2.kf_t[newest]), atol=1e-5)
 
 
 def test_local_ba_window_only_moves_window():
@@ -194,15 +200,20 @@ def test_local_ba_window_only_moves_window():
     cfg = SlamConfig(camera=CAM_CFG,
                      backend=BackendConfig(max_iterations=5))
     from modular_slam_tpu.frontend.tracker import initial_state
-    state = initial_state()
+    from modular_slam_tpu.geometry.se3 import Pose as _Pose
+
+    # engine flow: tracked pose == newest keyframe pose at submit time
+    state = initial_state()._replace(
+        pose=_Pose(q=arena.kf_q[4], t=arena.kf_t[4]))
     t0 = np.array(arena.kf_t[0])  # before donation
     lba = make_local_ba(cfg)
     arena2, state2 = lba(arena, state, jnp.int32(4))
     # all kfs covisible here, so window = all; kf0 stays (gauge)
     np.testing.assert_allclose(np.array(arena2.kf_t[0]), t0, atol=1e-7)
-    # state pose updated to kf4's optimized pose
+    # state pose updated to kf4's optimized pose (via the newest-keyframe
+    # delta, which equals the optimized pose when merging at submit time)
     np.testing.assert_allclose(np.array(state2.pose.t),
-                               np.array(arena2.kf_t[4]), atol=1e-7)
+                               np.array(arena2.kf_t[4]), atol=1e-5)
 
 
 def test_compact_global_ba_matches_full():

@@ -76,15 +76,17 @@ def harvest_descriptors(cfg, n_scenes: int = 6, frames_per_scene: int = 6):
     return desc
 
 
-def revisit_pairs(cfg, vocab, n_scenes: int = 4, n_spots: int = 6):
+def revisit_pairs(cfg, vocab, n_scenes: int = 4, n_spots: int = 6,
+                  scene: str = "plane"):
     """BoW scores for same-place and different-place keyframe pairs from
-    held-out rendered scenes.  Same place = identical spot revisited with
-    small pose jitter (the loop-closure situation); different = other
-    spots on the same texture."""
+    held-out rendered scenes (plane or box world).  Same place =
+    identical spot revisited with small pose jitter (the loop-closure
+    situation); different = other spots in the same scene."""
     import jax
     import jax.numpy as jnp
 
-    from modular_slam_tpu.eval.synthetic import PlaneSceneGenerator
+    from modular_slam_tpu.eval.synthetic import (BoxSceneGenerator,
+                                                 PlaneSceneGenerator)
     from modular_slam_tpu.geometry.se3 import Pose
     from modular_slam_tpu.loop.vocab import bow_histogram
     from modular_slam_tpu.ops.detector import detect
@@ -95,11 +97,17 @@ def revisit_pairs(cfg, vocab, n_scenes: int = 4, n_spots: int = 6):
 
     same, diff = [], []
     for s in range(n_scenes):
-        gen = PlaneSceneGenerator(cfg.camera, seed=2000 + s,
-                                  texture_ppm=250.0)
+        if scene == "box":
+            gen = BoxSceneGenerator(cfg.camera, seed=2000 + s)
+        else:
+            gen = PlaneSceneGenerator(cfg.camera, seed=2000 + s,
+                                      texture_ppm=250.0)
         hists = []
         for k in range(n_spots):
-            spot = np.array([0.45 * k - 1.0, 0.25 * (k % 2), 0.0], np.float32)
+            # box world is ~2 m across: keep spots inside it
+            span = 0.2 if scene == "box" else 0.45
+            spot = np.array([span * k - span * n_spots / 2,
+                             0.15 * (k % 2), 0.0], np.float32)
             hs = []
             for jit_i in range(2):  # visit + revisit with pose jitter
                 rng = np.random.default_rng(31 * k + jit_i + 7 * s)
@@ -153,7 +161,8 @@ def main() -> int:
     np.savez_compressed(out, vocab=vocab)
     print(f"wrote {out}", file=sys.stderr)
 
-    print("\n-- operating-point sweep (trained vocab) --", file=sys.stderr)
+    print("\n-- operating-point sweep (trained vocab, plane) --",
+          file=sys.stderr)
     same, diff = revisit_pairs(cfg, vocab)
     print(f"same-place scores:  min {same.min():.3f} med "
           f"{np.median(same):.3f}", file=sys.stderr)
@@ -161,6 +170,18 @@ def main() -> int:
           f"{diff.max():.3f}", file=sys.stderr)
     print("thr   recall  fp_rate  precision", file=sys.stderr)
     for thr, rec, fp, prec in sweep(same, diff):
+        print(f"{thr:4.2f}  {rec:6.3f}  {fp:7.3f}  {prec:9.3f}",
+              file=sys.stderr)
+
+    print("\n-- operating-point sweep (trained vocab, BOX world) --",
+          file=sys.stderr)
+    same_b, diff_b = revisit_pairs(cfg, vocab, scene="box")
+    print(f"same-place scores:  min {same_b.min():.3f} med "
+          f"{np.median(same_b):.3f}", file=sys.stderr)
+    print(f"diff-place scores:  med {np.median(diff_b):.3f} max "
+          f"{diff_b.max():.3f}", file=sys.stderr)
+    print("thr   recall  fp_rate  precision", file=sys.stderr)
+    for thr, rec, fp, prec in sweep(same_b, diff_b):
         print(f"{thr:4.2f}  {rec:6.3f}  {fp:7.3f}  {prec:9.3f}",
               file=sys.stderr)
 
