@@ -3,9 +3,16 @@
 Prints ONE JSON line.  Headline metric = BASELINE.md's
 "frames/s/chip (tracking + BA)": the full slam pipeline (detect + match +
 RANSAC PnP + arena update per frame, local Schur-LM BA per keyframe)
-through the chunked engine path with the ASYNC backend executor (local
-BA solved on the host CPU, overlapped with the next chunk's tracking —
-backend/executor.py).  Also reported: the sync (inline-BA) variant,
+through the chunked engine path in DEFERRED-PIPELINED mode: the host
+finishes chunk N's bookkeeping (results fetch, keyframe-rate BA / map
+maintenance dispatch) while the device executes chunk N+1, so every
+device->host round trip (~25 ms each through the axon tunnel) overlaps
+device compute and local BA lands one chunk late (engine.py
+defer_chunk_sync).  The CPU-offload async executor
+(backend/executor.py) exists for deployments where device->host
+transfers are PCIe-cheap; through this remote tunnel a ~400 KB window
+snapshot costs ~0.5 s, so it is not the benchmarked configuration.
+Also reported: the plain sync variant (blocking host sync per chunk),
 tracking-only throughput, scan-probe per-stage device times, the
 box-world scene scenario, loop-closure latency, and warm-cache
 time-to-first-frame.
@@ -88,7 +95,7 @@ def bench_startup(cfg, frames) -> float:
     from modular_slam_tpu.models.pipelines import slam_pipeline
 
     t0 = time.perf_counter()
-    system = slam_pipeline(cfg, ba_mode="async")
+    system = slam_pipeline(cfg, defer_chunk_sync=True)
     grays, depths, times = _stage_frames(frames[:CHUNK])
     system.process_chunk_device(grays, depths, times)
     jax.block_until_ready(system.arena)
@@ -139,7 +146,7 @@ def bench_ours_tracking(cfg, frames) -> float:
     return n / dt
 
 
-def bench_ours_full(cfg, frames, ba_mode="async"):
+def bench_ours_full(cfg, frames, mode="pipelined"):
     """Full slam pipeline (tracking + per-keyframe local BA) through the
     chunked engine path, steady-state: frames pre-staged on device, first
     chunk is warmup (compiles the scan; the bootstrap keyframe compiles
@@ -151,7 +158,7 @@ def bench_ours_full(cfg, frames, ba_mode="async"):
 
     from modular_slam_tpu.models.pipelines import slam_pipeline
 
-    system = slam_pipeline(cfg, ba_mode=ba_mode)
+    system = slam_pipeline(cfg, defer_chunk_sync=(mode == "pipelined"))
     grays, depths, times = _stage_frames(frames)
     tss = [ts for _, _, ts in frames]
 
@@ -170,7 +177,7 @@ def bench_ours_full(cfg, frames, ba_mode="async"):
     dt = time.perf_counter() - t0
 
     n_ok = sum(1 for r in system.results if bool(r.tracking_ok))
-    print(f"ours tracking+BA[{ba_mode}]: {n} frames in {dt:.3f}s, "
+    print(f"ours tracking+BA[{mode}]: {n} frames in {dt:.3f}s, "
           f"{system.n_keyframes} keyframes (BA each), "
           f"{n_ok}/{len(system.results)} ok", file=sys.stderr)
     return n / dt, system.n_keyframes, n_ok
@@ -332,6 +339,24 @@ def bench_loop(cfg) -> dict:
     # warmup chunk compiles scan+loop jits
     system.process_chunk_device(grays[:CHUNK], depths[:CHUNK], tss[:CHUNK])
     jax.block_until_ready(system.arena)
+    # pre-compile the closure path (verify / PGO / global BA / fusion)
+    # so the first real closure's timing is execution, not compilation
+    import jax.numpy as jnp
+
+    system.process(*frames[CHUNK])
+    lp = system._loop
+    key = jax.random.PRNGKey(0)
+    jax.block_until_ready(
+        lp._verify(system.arena, jnp.int32(0), system.last_features, key))
+    jax.block_until_ready(
+        lp._pgo(system.arena, lp.edges, jnp.int32(0))[0].kf_t)
+    a_warm, _ = lp._run_global_ba(system.arena, system.state,
+                                  max(system.n_keyframes - 1, 0))
+    jax.block_until_ready(a_warm.kf_t)
+    system.arena = a_warm  # _run_global_ba donates the arena it was given
+    a2, _ = lp._fuse(system.arena, jnp.int32(0), jnp.int32(0))
+    system.arena = a2
+    gba_warmup_runs = lp.n_global_ba
 
     # instrument closure handling
     orig = system._loop.on_new_keyframe
@@ -355,7 +380,7 @@ def bench_loop(cfg) -> dict:
     out = {
         "n_loop_closures": system.n_loop_closures,
         "n_keyframes": system.n_keyframes,
-        "global_ba_runs": system._loop.n_global_ba,
+        "global_ba_runs": system._loop.n_global_ba - gba_warmup_runs,
     }
     if closure_times:
         out["closure_ms_mean"] = round(
@@ -566,8 +591,8 @@ def main() -> int:
 
     startup_s = bench_startup(cfg, frames)
     fps_track = bench_ours_tracking(cfg, frames)
-    fps_full, n_kf, n_ok = bench_ours_full(cfg, frames, ba_mode="async")
-    fps_sync, _, _ = bench_ours_full(cfg, frames, ba_mode="sync")
+    fps_full, n_kf, n_ok = bench_ours_full(cfg, frames, mode="pipelined")
+    fps_sync, _, _ = bench_ours_full(cfg, frames, mode="sync")
     stages = bench_stages(cfg, frames)
     base_track = bench_opencv_baseline(cfg, frames, with_ba=False)
     base_full = bench_opencv_baseline(cfg, frames, with_ba=True)
@@ -575,7 +600,7 @@ def main() -> int:
     # second scenario: box world (occlusion + depth discontinuities)
     cfg_b, frames_b = _sequence("box")
     fps_box, n_kf_box, ok_box = bench_ours_full(cfg_b, frames_b,
-                                                ba_mode="async")
+                                                mode="pipelined")
     base_box = bench_opencv_baseline(cfg_b, frames_b, with_ba=True)
 
     loop_stats = bench_loop(cfg)
@@ -585,7 +610,8 @@ def main() -> int:
         "value": round(fps_full, 3),
         "unit": "frames/s",
         "vs_baseline": round(fps_full / base_full, 3),
-        "ba_mode": "async (local BA offloaded to host CPU, overlapped)",
+        "ba_mode": "deferred-pipelined: host bookkeeping + BA dispatch "
+                   "overlap the next chunk's device execution",
         "tracking_ba_sync_fps": round(fps_sync, 3),
         "tracking_frames_per_s_per_chip": round(fps_track, 3),
         "tracking_vs_baseline": round(fps_track / base_track, 3),

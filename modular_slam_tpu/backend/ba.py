@@ -49,6 +49,7 @@ from modular_slam_tpu.geometry.se3 import (
     quat_to_matrix,
     se3_exp,
 )
+from modular_slam_tpu.utils.indices import masked_indices
 from modular_slam_tpu.map.arena import (
     MapArena,
     khop_keyframes,
@@ -498,12 +499,12 @@ def extract_window(cam: Camera, arena: MapArena, kf_slot: Array,
     # advisor round-2 finding).  dynamic_slice of the full ascending
     # index list keeps the result ascending, so local slot 0 stays
     # the oldest *selected* keyframe (the gauge).
-    idx_all = jnp.nonzero(window, size=K, fill_value=K)[0]
+    idx_all = masked_indices(window, K)
     n_w = jnp.sum(window.astype(jnp.int32))
     start = jnp.maximum(n_w - Kc, 0)
     kf_idx = lax.dynamic_slice(idx_all, (start,), (Kc,))
-    lm_idx = jnp.nonzero(lm_active, size=Lc, fill_value=L)[0]
-    obs_idx = jnp.nonzero(obs_active, size=Oc, fill_value=O)[0]
+    lm_idx = masked_indices(lm_active, Lc)
+    obs_idx = masked_indices(obs_active, Oc)
     kf_ok = kf_idx < K
     lm_ok = lm_idx < L
 
@@ -686,9 +687,9 @@ def make_global_ba_compact(cfg: SlamConfig, tier: Tuple[int, int, int]
                    & lm_act[arena.obs_lm])
 
         # --- compact to the tier caps (ascending keeps slot 0 = gauge) --
-        kf_idx = jnp.nonzero(kf_act, size=Kt, fill_value=K)[0]
-        lm_idx = jnp.nonzero(lm_act, size=Lt, fill_value=L)[0]
-        obs_idx = jnp.nonzero(obs_act, size=Ot, fill_value=O)[0]
+        kf_idx = masked_indices(kf_act, Kt)
+        lm_idx = masked_indices(lm_act, Lt)
+        obs_idx = masked_indices(obs_act, Ot)
         kf_ok = kf_idx < K
         lm_ok = lm_idx < L
         inv_kf = jnp.full((K,), Kt, jnp.int32).at[kf_idx].set(

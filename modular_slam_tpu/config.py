@@ -191,11 +191,14 @@ class LoopConfig:
     # BoW score gate before geometric verification.  Calibration on
     # rendered same-place/different-place keyframe pairs with the trained
     # codebook (tools/train_vocab.py) shows the score SCALE is
-    # resolution/detector dependent (same-place median ~0.63 at 640x480 /
-    # 8 levels, ~0.38 at 320x240 / 4 levels), so the default stays a
-    # recall-first gate and geometric verification (loop/detector.py) is
-    # the precision stage.  For fixed 640x480 deployments the sweep's
-    # high-precision point is 0.55-0.60 (recall 0.96-0.75, fp 0.32-0.02).
+    # resolution/detector AND scene dependent: plane world at 640x480 /
+    # 8 levels has same-place median ~0.63 vs different ~0.38
+    # (high-precision point 0.55-0.60); the box world (shared texture
+    # atlas, multiple surfaces) compresses the margin to ~0.51 vs ~0.45
+    # — a 0.50 gate there already costs 40% recall (sweep: thr 0.45 ->
+    # recall 1.0 / fp 0.47; thr 0.50 -> recall 0.60 / fp 0.03).  The
+    # default therefore stays a recall-first gate and geometric
+    # verification (loop/detector.py) is the precision stage.
     min_score: float = 0.15
     min_gap_keyframes: int = 20   # don't match temporally adjacent KFs
     min_inliers: int = 25

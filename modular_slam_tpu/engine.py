@@ -140,7 +140,8 @@ class SlamSystem:
                  enable_loop_closure: bool = False,
                  enable_relocalization: bool = False,
                  component_names: Optional[dict] = None,
-                 ba_mode: str = "sync"):
+                 ba_mode: str = "sync",
+                 defer_chunk_sync: bool = False):
         self.cfg = cfg or SlamConfig()
         self.cam: Camera = camera_from_config(self.cfg.camera)
         self.arena: MapArena = empty_arena(self.cfg.map)
@@ -166,6 +167,10 @@ class SlamSystem:
         self._backend = None  # BackendExecutor, built lazily on first use
         self._maint_fn = None  # jitted cull/evict/compact, built lazily
         self.n_compactions = 0
+        # deferred chunk pipelining: host bookkeeping of chunk N runs
+        # while the device executes chunk N+1 (see _process_chunk_core)
+        self.defer_chunk_sync = defer_chunk_sync
+        self._pending_chunk = None
         # --- loop closure / relocalization machinery ---------------------
         self.enable_loop_closure = enable_loop_closure
         self.enable_relocalization = enable_relocalization
@@ -228,6 +233,7 @@ class SlamSystem:
                 timestamp: float) -> SlamResult:
         from modular_slam_tpu.io.tum import frame_to_device
 
+        self._flush_pending_chunk()  # deferred chunk, if mixing paths
         frame: RgbdFrame = frame_to_device(rgb, depth, timestamp)
         self._key, sub = jax.random.split(self._key)
         self.arena, self.state, result, feats = self._step(
@@ -294,20 +300,30 @@ class SlamSystem:
                 self.arena, self.state)
 
     def flush_backend(self) -> None:
-        """Complete all pending backend work (end of dataset /
+        """Complete all pending work — the deferred chunk's host
+        bookkeeping and any in-flight async BA (end of dataset /
         checkpointing / before reading the map out)."""
+        self._flush_pending_chunk()
         self._harvest_ba()
 
-    def _maybe_compact(self) -> bool:
+    def _maybe_compact(self, counters=None) -> bool:
         """Keyframe-rate map maintenance (map/lifecycle.py): when a pool
         crosses its highwater mark, cull weak landmarks, evict redundant
         keyframes, and compact slots so the freed tail keeps accepting
         insertions — long sequences never silently stop mapping (the
-        round-2 arena's drop-on-overflow did; VERDICT r2 missing #3)."""
+        round-2 arena's drop-on-overflow did; VERDICT r2 missing #3).
+
+        `counters` (n_kf, n_lm, n_obs) may be passed pre-fetched (the
+        deferred chunk path piggybacks them on the results device_get so
+        the check costs zero extra tunnel round trips)."""
         m = self.cfg.map
         K, L, O = m.max_keyframes, m.max_landmarks, m.max_observations
-        n_kf, n_lm, n_obs = (int(self.arena.n_kf), int(self.arena.n_lm),
-                             int(self.arena.n_obs))
+        if counters is None:
+            # ONE host round trip for all three counters — separate
+            # int() reads are three blocking tunnel round trips
+            counters = jax.device_get(
+                (self.arena.n_kf, self.arena.n_lm, self.arena.n_obs))
+        n_kf, n_lm, n_obs = (int(x) for x in counters)
         if (n_kf < m.highwater * K and n_lm < m.highwater * L
                 and n_obs < m.highwater * O):
             return False
@@ -388,6 +404,39 @@ class SlamSystem:
         self._harvest_ba()
         self.arena, self.state, out = self._scan(
             self.arena, self.state, grays, deps, times, keys)
+
+        if self.defer_chunk_sync:
+            # pipelined mode: the device runs THIS chunk while the host
+            # finishes the PREVIOUS one — every device->host round trip
+            # (results fetch, counter check) overlaps device compute, and
+            # keyframe-rate work (BA / loop closure) dispatches onto this
+            # chunk's output arena, landing one chunk late (the same
+            # deferred semantics as the async BA executor).  Through a
+            # TPU tunnel each blocking round trip costs ~25 ms wall —
+            # 2-3 of them per 16-frame chunk was the difference between
+            # tracking-only and tracking+BA throughput.
+            pending = self._pending_chunk
+            # counters go into a FRESH buffer: raw refs into the arena
+            # would be invalidated when the next scan donates it
+            counters_ref = jnp.stack(
+                (self.arena.n_kf, self.arena.n_lm, self.arena.n_obs))
+            self._pending_chunk = (out, times_host, counters_ref)
+            if pending is None:
+                return []
+            return self._finish_chunk(*pending)
+        return self._finish_chunk(out, times_host, None)
+
+    def _flush_pending_chunk(self) -> List[SlamResult]:
+        """Finish the deferred chunk (end of dataset / before reading
+        state out)."""
+        if self._pending_chunk is None:
+            return []
+        pending, self._pending_chunk = self._pending_chunk, None
+        return self._finish_chunk(*pending)
+
+    def _finish_chunk(self, out, times_host, counters) -> List[SlamResult]:
+        C = len(times_host)
+        need_feats = self._loop is not None
         if need_feats:
             results, feats = out
         else:
@@ -397,11 +446,15 @@ class SlamSystem:
         # everything below is HOST-side numpy: no per-frame device slicing
         # or host->device Pose staging (each such op is a device dispatch —
         # through a TPU tunnel that alone dominated the chunk wall-time)
-        host = jax.device_get(
-            (results.pose.q, results.pose.t, results.tracking_ok,
-             results.new_keyframe, results.kf_slot, results.n_matches,
-             results.n_inliers))
-        qs, ts_, ok, new_kf, kf_slots, n_m, n_i = (np.asarray(a) for a in host)
+        fetch = [results.pose.q, results.pose.t, results.tracking_ok,
+                 results.new_keyframe, results.kf_slot, results.n_matches,
+                 results.n_inliers]
+        if counters is not None:
+            fetch.append(counters)  # piggyback: no extra round trip
+        host = jax.device_get(tuple(fetch))
+        qs, ts_, ok, new_kf, kf_slots, n_m, n_i = (
+            np.asarray(a) for a in host[:7])
+        counters_h = host[7] if counters is not None else None
 
         codes: List[SlamResult] = []
         for i in range(C):
@@ -453,7 +506,7 @@ class SlamSystem:
 
         # ---- chunk-boundary map maintenance -------------------------------
         if new_kf.any():
-            self._maybe_compact()
+            self._maybe_compact(counters_h)
         return codes
 
     def run(self, dataset, writer=None, max_frames: Optional[int] = None,

@@ -40,6 +40,7 @@ import jax
 import jax.numpy as jnp
 
 from modular_slam_tpu.map.arena import MapArena
+from modular_slam_tpu.utils.indices import masked_indices
 
 Array = jnp.ndarray
 
@@ -140,9 +141,9 @@ def compact_arena(arena: MapArena) -> Tuple[MapArena, SlotRemaps]:
     n_obs = jnp.sum(obs_keep.astype(jnp.int32))
 
     # gather old slots in order: old_of_new[j] = old slot of new slot j
-    kf_old = jnp.nonzero(kf_keep, size=K, fill_value=K)[0]
-    lm_old = jnp.nonzero(lm_keep, size=L, fill_value=L)[0]
-    obs_old = jnp.nonzero(obs_keep, size=O, fill_value=O)[0]
+    kf_old = masked_indices(kf_keep, K)
+    lm_old = masked_indices(lm_keep, L)
+    obs_old = masked_indices(obs_keep, O)
     kf_g = jnp.clip(kf_old, 0, K - 1)
     lm_g = jnp.clip(lm_old, 0, L - 1)
     obs_g = jnp.clip(obs_old, 0, O - 1)
@@ -214,8 +215,8 @@ def fuse_duplicate_landmarks(
     in_a = in_a & ~both
     in_b = in_b & ~both
 
-    a_idx = jnp.nonzero(in_a, size=cap, fill_value=L)[0]
-    b_idx = jnp.nonzero(in_b, size=cap, fill_value=L)[0]
+    a_idx = masked_indices(in_a, cap)
+    b_idx = masked_indices(in_b, cap)
     a_ok = a_idx < L
     b_ok = b_idx < L
     a_g = jnp.clip(a_idx, 0, L - 1)

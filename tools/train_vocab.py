@@ -104,8 +104,8 @@ def revisit_pairs(cfg, vocab, n_scenes: int = 4, n_spots: int = 6,
                                       texture_ppm=250.0)
         hists = []
         for k in range(n_spots):
-            # box world is ~2 m across: keep spots inside it
-            span = 0.2 if scene == "box" else 0.45
+            # box wall spans x in [-5, 5]; boxes in [-2.2, 2.2]
+            span = 0.8 if scene == "box" else 0.45
             spot = np.array([span * k - span * n_spots / 2,
                              0.15 * (k % 2), 0.0], np.float32)
             hs = []
