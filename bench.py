@@ -222,7 +222,12 @@ def bench_stages(cfg, frames) -> dict:
     def run_detect(gs, ds):
         def body(c, x):
             f = detect(x[0], x[1], cfg.detector)
-            return c + jnp.sum(f.keypoints.uv), 0
+            # consume EVERY output — reducing only uv lets XLA dead-code
+            # the descriptor/orientation work and under-reports detect
+            return (c + jnp.sum(f.keypoints.uv)
+                    + jnp.sum(f.descriptors.unpacked.astype(jnp.float32))
+                    + jnp.sum(f.keypoints.angle)
+                    + jnp.sum(f.keypoints.depth), 0)
         return lax.scan(body, jnp.float32(0), (gs, ds))[0]
 
     detect_ms = timed(run_detect, (grays, depths), n)

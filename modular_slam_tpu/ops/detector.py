@@ -36,7 +36,8 @@ import jax.numpy as jnp
 from modular_slam_tpu.config import DetectorConfig
 from modular_slam_tpu.ops.blur import gaussian_blur
 from modular_slam_tpu.ops.brief import brief_from_atlas
-from modular_slam_tpu.ops.fast import fast_score, nms3x3, border_mask
+from modular_slam_tpu.ops.fast import nms3x3, border_mask
+from modular_slam_tpu.ops.fast_pallas import fast_score_fastest
 from modular_slam_tpu.ops.orient import moment_maps
 from modular_slam_tpu.ops.pyramid import build_pyramid
 from modular_slam_tpu.types import (
@@ -116,7 +117,7 @@ def detect(
     thr_high = float(cfg.fast_threshold)
     for lvl, img in enumerate(levels):
         h, w = img.shape
-        score = fast_score(img)
+        score = fast_score_fastest(img)
         score = nms3x3(score) * border_mask(h, w, cfg.border, img.dtype)
         score = jnp.where(score > thr_low, score, 0.0)
         score = _cell_threshold_fallback(score, cfg.cell_size, thr_high)

@@ -31,6 +31,8 @@ def _config_dict(cfg) -> dict:
 
 def save_checkpoint(path: str, system) -> None:
     """Serialize a SlamSystem to `path` (.npz)."""
+    # deferred chunk bookkeeping / in-flight async BA must land first
+    system.flush_backend()
     out: Dict[str, np.ndarray] = {}
     _flatten("arena.", system.arena, out)
     _flatten("state.", system.state, out)
