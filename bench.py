@@ -324,18 +324,37 @@ def bench_stages(cfg, frames) -> dict:
     }
 
 
-def bench_loop(cfg) -> dict:
-    """Loop-closure latency on a revisit trajectory over the box world:
-    full pipeline (BoW query + verify + PGO + tier-compacted global BA on
-    every verified closure), reporting mean wall ms per closure-handling
+def bench_loop(_cfg_unused) -> dict:
+    """Loop-closure latency on a trajectory that verifiably CLOSES loops
+    (the tests' two-lap noisy-depth revisit, tests/test_loop_e2e.py —
+    the bench's 640x480 forward sweep never revisits): full pipeline
+    (BoW query + verify + PGO + tier-compacted global BA on every
+    verified closure), reporting mean wall ms per closure-handling
     keyframe event (VERDICT r2 weak #3: this path was never measured)."""
+    import dataclasses
+
     import jax
 
-    from modular_slam_tpu.eval.synthetic import BoxSceneGenerator
+    from modular_slam_tpu.config import (CameraConfig, DetectorConfig,
+                                         LoopConfig, MapConfig, PnpConfig,
+                                         SlamConfig)
+    from modular_slam_tpu.config import BackendConfig as _B
+    from modular_slam_tpu.eval.synthetic import PlaneSceneGenerator
     from modular_slam_tpu.models.pipelines import full_slam_pipeline
 
-    gen = BoxSceneGenerator(cfg.camera, seed=7)
-    poses = gen.loop_trajectory(32, radius=0.5) * 2    # 2 laps
+    cfg = SlamConfig(
+        camera=CameraConfig(fx=320.0, fy=320.0, cx=159.5, cy=119.5,
+                            width=320, height=240),
+        detector=DetectorConfig(n_levels=4, max_keypoints=384),
+        map=MapConfig(max_keyframes=64, max_landmarks=8192,
+                      max_observations=32768),
+        pnp=PnpConfig(n_hypotheses=64),
+        backend=_B(max_iterations=8),
+        loop=LoopConfig(min_gap_keyframes=4, min_score=0.05,
+                        min_inliers=25, global_ba_on_loop=True),
+    )
+    gen = PlaneSceneGenerator(cfg.camera, seed=3, depth_noise=0.03)
+    poses = gen.loop_trajectory(24, radius=1.2) * 4    # 4 laps
     frames = [(rgb, depth, ts) for rgb, depth, ts in gen.sequence(poses)]
     grays, depths, times = _stage_frames(frames)
     tss = [ts for _, _, ts in frames]

@@ -153,10 +153,10 @@ class BackendConfig:
     # v5e at the 131072-observation default; the compacted window is ms).
     # Active elements beyond a cap are dropped from that solve (the next
     # keyframe's BA sees them again).
-    local_max_iterations: int = 10
+    local_max_iterations: int = 8
     local_kf_cap: int = 16
-    local_lm_cap: int = 4096
-    local_obs_cap: int = 8192
+    local_lm_cap: int = 2048
+    local_obs_cap: int = 6144
     # residual forms ("p2p" | "reproj" | "rgbd"): local BA keeps the
     # reference's 3D point-to-point residual (ceres_backend.cpp:19-60);
     # global BA uses the hybrid RGB-D residual — pixel coordinates are the
