@@ -720,6 +720,10 @@ def make_global_ba_compact(cfg: SlamConfig, tier: Tuple[int, int, int]
         )
 
         pose_free = kf_ok & (jnp.arange(Kt) != 0)
+        # matrix-free PCG core: measured FASTER than the dense-grid core
+        # at global tiers (the [Lt, Kt] grid pads residual work ~Kt-fold
+        # vs the real observation count; at local-window shapes the
+        # scatter savings win, at tier shapes the padding loses)
         q_n, t_n, lm_n, stats = ba_core(
             cam, kf_q, kf_t, lm_pos, obs, pose_free, lm_ok, bcfg,
             residual_type=bcfg.global_residual,
