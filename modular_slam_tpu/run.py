@@ -99,7 +99,11 @@ def main(argv=None) -> int:
     system = make_pipeline(
         pipeline, cfg, seed=args.seed,
         component_names={"detector": args.detector, "matcher": args.matcher,
-                         "pnp": args.pnp})
+                         "pnp": args.pnp},
+        # chunked runs get the deferred-pipelined host sync (host
+        # bookkeeping of chunk N overlaps chunk N+1 on device) — the
+        # benchmark's throughput configuration
+        defer_chunk_sync=args.chunk > 1)
     if args.load_checkpoint:
         from modular_slam_tpu.utils.checkpoint import load_checkpoint
 
@@ -112,20 +116,28 @@ def main(argv=None) -> int:
         writer = cls(args.out)
 
     frames_iter = iter(ds) if args.no_prefetch else ds.prefetch_iter()
-    n_ok = 0
     buf = []
+    written = 0
+
+    def _drain_writer():
+        # stream every trajectory row not yet written — correct in
+        # deferred-pipelined mode too, where a chunk's results only
+        # become available one chunk later
+        nonlocal written
+        if writer is None:
+            return
+        while written < len(system.trajectory):
+            t, p = system.trajectory[written]
+            writer.write(t, p)
+            written += 1
 
     def _flush():
-        nonlocal n_ok
         if len(buf) == args.chunk:
-            codes = system.process_chunk(*zip(*buf))
+            system.process_chunk(*zip(*buf))
         else:
-            codes = [system.process(r, d, t) for r, d, t in buf]
-        n_ok += sum(c == SlamResult.SUCCESS for c in codes)
-        if writer is not None:
-            for off in range(len(buf)):
-                t, p = system.trajectory[off - len(buf)]
-                writer.write(t, p)
+            for r, d, t in buf:
+                system.process(r, d, t)
+        _drain_writer()
         buf.clear()
 
     t0 = _time.perf_counter()
@@ -133,11 +145,8 @@ def main(argv=None) -> int:
         if args.max_frames is not None and i >= args.max_frames:
             break
         if args.chunk <= 1:
-            res = system.process(rgb, depth, ts)
-            if res == SlamResult.SUCCESS:
-                n_ok += 1
-            if writer is not None:
-                writer.write(ts, system.trajectory[-1][1])
+            system.process(rgb, depth, ts)
+            _drain_writer()
         else:
             buf.append((rgb, depth, ts))
             if len(buf) == args.chunk:
@@ -148,7 +157,10 @@ def main(argv=None) -> int:
                   f"inl={st['last_n_inliers']}", file=sys.stderr)
     if buf:
         _flush()
+    system.flush_backend()   # deliver the deferred tail chunk
+    _drain_writer()
     elapsed = _time.perf_counter() - t0
+    n_ok = sum(1 for r in system.results if bool(r.tracking_ok))
     if writer is not None:
         writer.close()
 
