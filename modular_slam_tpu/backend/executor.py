@@ -36,9 +36,12 @@ is a negligible async copy.
 Harvest discipline (callers: engine.SlamSystem):
   - harvest() at the start of each chunk, before the scan dispatch;
   - submit() harvests any pending solve first (windows overlap);
-  - harvest or DROP pending work before pose-graph corrections — a
-    stale window merged after PGO would undo the correction
-    (LoopPipeline calls drop_pending()).
+  - no stale window may be merged after a pose-graph correction (it
+    would undo the correction).  The engine enforces this by HARVESTING
+    (merging) any in-flight window immediately before loop handling
+    (SlamSystem._harvest_ba ahead of LoopPipeline.on_new_keyframe);
+    drop_pending() exists for callers that prefer to abandon the solve
+    instead of merging it, but nothing in the engine path calls it.
 """
 
 from __future__ import annotations

@@ -171,6 +171,12 @@ class SlamSystem:
         # while the device executes chunk N+1 (see _process_chunk_core)
         self.defer_chunk_sync = defer_chunk_sync
         self._pending_chunk = None
+        # observed per-chunk pool growth (kf, lm, obs) — the deferred
+        # path's maintenance check runs on counters one chunk stale, so
+        # the highwater trigger is advanced by this much (see
+        # _maybe_compact)
+        self._chunk_growth = (0, 0, 0)
+        self._prev_counters = None
         # --- loop closure / relocalization machinery ---------------------
         self.enable_loop_closure = enable_loop_closure
         self.enable_relocalization = enable_relocalization
@@ -318,15 +324,38 @@ class SlamSystem:
         the check costs zero extra tunnel round trips)."""
         m = self.cfg.map
         K, L, O = m.max_keyframes, m.max_landmarks, m.max_observations
+        stale = counters is not None  # deferred path: lags by one chunk
         if counters is None:
             # ONE host round trip for all three counters — separate
             # int() reads are three blocking tunnel round trips
             counters = jax.device_get(
                 (self.arena.n_kf, self.arena.n_lm, self.arena.n_obs))
         n_kf, n_lm, n_obs = (int(x) for x in counters)
-        if (n_kf < m.highwater * K and n_lm < m.highwater * L
-                and n_obs < m.highwater * O):
+        # piggybacked counters lag the arena by the one in-flight chunk,
+        # so advance the trigger by the last observed per-chunk growth —
+        # without the margin a pool could cross highwater (or saturate
+        # into silent drop-mode inserts) during the lag
+        g_kf, g_lm, g_obs = self._chunk_growth if stale else (0, 0, 0)
+        if (n_kf + g_kf < m.highwater * K and n_lm + g_lm < m.highwater * L
+                and n_obs + g_obs < m.highwater * O):
             return False
+        # ORDERING INVARIANT: no chunk may be pending when _maint_fn
+        # runs.  The pending chunk's TrackResults carry kf_slot values
+        # indexing the PRE-compaction arena; compacting under it would
+        # make the next _finish_chunk run local BA, BoW insertion,
+        # pose-graph edges, and loop closure against remapped slots.
+        # Flushing finishes that chunk's bookkeeping first (the nested
+        # _finish_chunk reaches this method with no pending chunk, so
+        # it may legitimately compact itself — the fresh re-check below
+        # then returns False here).
+        if self._pending_chunk is not None:
+            self._flush_pending_chunk()
+            counters = jax.device_get(
+                (self.arena.n_kf, self.arena.n_lm, self.arena.n_obs))
+            n_kf, n_lm, n_obs = (int(x) for x in counters)
+            if (n_kf < m.highwater * K and n_lm < m.highwater * L
+                    and n_obs < m.highwater * O):
+                return False
         # compaction MOVES slots: no in-flight async BA window may survive
         self._harvest_ba()
         if self._maint_fn is None:
@@ -455,6 +484,16 @@ class SlamSystem:
         qs, ts_, ok, new_kf, kf_slots, n_m, n_i = (
             np.asarray(a) for a in host[:7])
         counters_h = host[7] if counters is not None else None
+        if counters_h is not None:
+            # track per-chunk pool growth for the stale-counter
+            # maintenance margin (_maybe_compact); compaction shrinks
+            # counters, hence the max(...)
+            cur = tuple(int(x) for x in counters_h)
+            if self._prev_counters is not None:
+                self._chunk_growth = tuple(
+                    max(c - p, 0)
+                    for c, p in zip(cur, self._prev_counters))
+            self._prev_counters = cur
 
         codes: List[SlamResult] = []
         for i in range(C):
@@ -516,16 +555,27 @@ class SlamSystem:
         one host sync per `chunk` frames); a final partial chunk falls
         back to per-frame processing to avoid a second compiled shape.
         Returns the list of (timestamp, Pose)."""
+        written = 0
+
+        def _drain_writer():
+            # cursor-based streaming: correct when a chunk's results only
+            # land later (deferred pipelining) or when a maintenance
+            # flush delivers two chunks at once
+            nonlocal written
+            if writer is None:
+                return
+            while written < len(self.trajectory):
+                t, p = self.trajectory[written]
+                writer.write(t, p)
+                written += 1
+
         def _flush(buf):
             if len(buf) == chunk:
                 self.process_chunk(*zip(*buf))
             else:
                 for rgb, depth, ts in buf:
                     self.process(rgb, depth, ts)
-            if writer is not None:
-                for off in range(len(buf)):
-                    t, p = self.trajectory[off - len(buf)]
-                    writer.write(t, p)
+            _drain_writer()
 
         buf = []
         for i, (rgb, depth, ts) in enumerate(dataset):
@@ -533,8 +583,7 @@ class SlamSystem:
                 break
             if chunk <= 1:
                 self.process(rgb, depth, ts)
-                if writer is not None:
-                    writer.write(ts, self.trajectory[-1][1])
+                _drain_writer()
                 continue
             buf.append((rgb, depth, ts))
             if len(buf) == chunk:
@@ -543,6 +592,7 @@ class SlamSystem:
         if buf:
             _flush(buf)
         self.flush_backend()
+        _drain_writer()
         return self.trajectory
 
     # -- introspection ------------------------------------------------------

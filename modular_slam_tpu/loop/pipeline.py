@@ -44,8 +44,22 @@ LOOP_EDGE_WEIGHT = 2.0
 
 
 class LoopPipeline:
-    def __init__(self, cfg: SlamConfig):
+    def __init__(self, cfg: SlamConfig, profile: bool = False):
         self.cfg = cfg
+        # per-stage closure-handling wall ms (bench_loop breakdown,
+        # VERDICT r3 next #2).  Profiling BLOCKS after each stage, so it
+        # is off in production and enabled only by the benchmark.
+        self.profile = profile
+        self.stage_ms = {k: [] for k in
+                         ("bow", "query", "verify", "pgo", "global_ba",
+                          "fuse")}
+        # closure-event log for offline precision/recall scoring against
+        # synthetic ground truth (bench_loop): accepted closures as
+        # (cur_kf_slot, cand_kf_slot, n_inliers, bow_score), plus counts
+        # of candidates that cleared the BoW gate but failed geometric
+        # verification
+        self.closures = []
+        self.n_verify_rejects = 0
         self.cam = camera_from_config(cfg.camera)
         self._vocab = load_trained_vocab(cfg.loop.vocab_size)
         self.db = empty_database(cfg.map.max_keyframes, cfg.loop.vocab_size)
@@ -153,8 +167,21 @@ class LoopPipeline:
         key: Array,
         run_loop_detection: bool = True,
     ) -> Tuple[MapArena, TrackState, bool]:
+        import time as _time
+
+        def _mark(stage, out):
+            """Profiling probe: block + record wall ms for `stage`."""
+            if self.profile:
+                jax.block_until_ready(out)
+                now = _time.perf_counter()
+                self.stage_ms[stage].append((now - _mark.t0) * 1e3)
+                _mark.t0 = now
+            return out
+
+        _mark.t0 = _time.perf_counter()
         hist = self._bow(feats.descriptors.unpacked, feats.keypoints.valid)
         self.db = add_keyframe_bow(self.db, jnp.int32(kf_slot), hist)
+        _mark("bow", self.db.hists)
 
         # odometry edge between consecutive keyframes
         if self._prev_kf is not None and self._prev_kf != kf_slot:
@@ -171,6 +198,7 @@ class LoopPipeline:
         if run_loop_detection:
             scores, slots = self._query(self.db, hist, jnp.int32(kf_slot))
             scores_h, slots_h = jax.device_get((scores, slots))
+            _mark("query", scores_h)
             # try EVERY top-k candidate above the score gate until one
             # verifies geometrically — the relocalizer already scans all
             # candidates (loop/relocalizer.py:50-74); detection previously
@@ -183,7 +211,13 @@ class LoopPipeline:
                 key, sub = jax.random.split(key)
                 ok, n_inl, meas_pose = self._verify(
                     arena, jnp.int32(cand), feats, sub)
+                _mark("verify", ok)
+                if not bool(ok):
+                    self.n_verify_rejects += 1
                 if bool(ok):
+                    self.closures.append(
+                        (int(kf_slot), int(cand), int(n_inl),
+                         float(best_score)))
                     # loop edge cand -> cur with the *measured* relative
                     # pose from geometric verification
                     p_cand = Pose(q=arena.kf_q[cand], t=arena.kf_t[cand])
@@ -196,10 +230,12 @@ class LoopPipeline:
                     arena, new_pose, _ = self._pgo(
                         arena, self.edges, jnp.int32(kf_slot))
                     state = state._replace(pose=new_pose)
+                    _mark("pgo", arena.kf_t)
                     closed = True
                     if self.cfg.loop.global_ba_on_loop:
                         arena, state = self._run_global_ba(
                             arena, state, kf_slot)
+                        _mark("global_ba", arena.kf_t)
                     # revisit-duplicate landmarks: merge the current
                     # keyframe's re-created landmarks into the matched
                     # keyframe's originals, now that PGO/global BA put
@@ -209,6 +245,7 @@ class LoopPipeline:
                     arena, n_fused = self._fuse(
                         arena, jnp.int32(kf_slot), jnp.int32(cand))
                     self.n_fused_landmarks += int(n_fused)
+                    _mark("fuse", arena.lm_pos)
                     break
         return arena, state, closed
 

@@ -235,7 +235,15 @@ def fuse_duplicate_landmarks(
               & (ham <= max_hamming) & (d2 <= max_dist ** 2))
     score = jnp.where(okpair, ham + 1e-3 * jnp.sqrt(d2), jnp.inf)
     best = jnp.argmin(score, axis=1)                      # [A] -> b row
-    fuse = jnp.isfinite(jnp.min(score, axis=1))           # [A]
+    # injectivity: a target may be claimed only by its best source
+    # (mutual-best matching).  Without this, two of kf_a's landmarks can
+    # both fuse into one kf_b landmark, leaving kf_a with two valid
+    # observations of the same landmark — violating the one-observation-
+    # per-(kf,lm) invariant that ba_core_dense's one-shot grid scatter
+    # relies on (backend/ba.py) and double-setting incidence bits.
+    best_src = jnp.argmin(score, axis=0)                  # [B] -> a row
+    mutual = best_src[best] == jnp.arange(cap)
+    fuse = jnp.isfinite(jnp.min(score, axis=1)) & mutual  # [A]
     target = b_g[best]                                    # global slots
     # (targets live only in the disjoint kf_b set, so a fuse target can
     # never itself be a fuse source)

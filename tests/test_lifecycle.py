@@ -202,3 +202,129 @@ def test_long_run_keeps_mapping():
     late_kf = sum(1 for r in sys_.results[first + 1:]
                   if bool(r.new_keyframe))
     assert late_kf >= 1, late_kf
+
+
+def test_fuse_duplicates_injective():
+    """Mutual-best fusion (advisor r3 medium): two of kf_a's landmarks
+    matching the SAME kf_b landmark must not both fuse into it — that
+    would leave kf_a with two valid observations of one landmark,
+    violating the one-observation-per-(kf,lm) invariant ba_core_dense's
+    grid scatter relies on."""
+    rng = np.random.default_rng(3)
+    K, L, O, D = 8, 64, 256, 32
+    arena = empty_arena(MapConfig(max_keyframes=K, max_landmarks=L,
+                                  max_observations=O, descriptor_bits=D))
+    desc1 = jnp.asarray(rng.choice([-1, 1], (1, D)), jnp.int8)
+    # kf_b: ONE original landmark
+    arena, kf_b = add_keyframe(arena, identity_pose(), jnp.float32(0))
+    pos_b = jnp.asarray([[0.5, 0.0, 1.0]], jnp.float32)
+    arena, s_b = add_landmarks(arena, pos_b, desc1, jnp.ones((1,), bool))
+    arena = add_observations(arena, kf_b, s_b,
+                             jnp.zeros((1, 2), jnp.float32),
+                             jnp.ones((1,), jnp.float32),
+                             desc1, jnp.ones((1,), bool))
+    # kf_a: TWO duplicates, both within max_dist of the one original,
+    # identical descriptor (one slightly closer -> unambiguous best)
+    arena, kf_a = add_keyframe(arena, identity_pose(), jnp.float32(1))
+    pos_a = jnp.asarray([[0.505, 0.0, 1.0], [0.51, 0.0, 1.0]], jnp.float32)
+    desc_a = jnp.concatenate([desc1, desc1])
+    arena, s_a = add_landmarks(arena, pos_a, desc_a, jnp.ones((2,), bool))
+    arena = add_observations(arena, kf_a, s_a,
+                             jnp.zeros((2, 2), jnp.float32),
+                             jnp.ones((2,), jnp.float32),
+                             desc_a, jnp.ones((2,), bool))
+
+    fused, n = fuse_duplicate_landmarks(arena, kf_a, kf_b,
+                                        max_dist=0.05, max_hamming=0)
+    assert int(n) == 1, int(n)
+    # the closer duplicate fused, the other survives untouched
+    lv = np.asarray(fused.lm_valid)
+    sa = np.asarray(s_a)
+    assert not lv[sa[0]]
+    assert lv[sa[1]]
+    # one-observation-per-(kf,lm): all valid obs pairs unique
+    ov = np.asarray(fused.obs_valid)
+    pairs = list(zip(np.asarray(fused.obs_kf)[ov].tolist(),
+                     np.asarray(fused.obs_lm)[ov].tolist()))
+    assert len(pairs) == len(set(pairs)), pairs
+
+
+def test_deferred_chunked_compaction_flushes_pending():
+    """Deferred-pipelined chunking x compaction (advisor r3 high / VERDICT
+    r3 weak #1): the pending chunk's TrackResults carry kf_slot values
+    into the PRE-compaction arena, so the engine must flush it before
+    _maint_fn remaps slots.  Long BoxSceneGenerator run through
+    process_chunk(defer_chunk_sync=True) with a tiny keyframe pool
+    forcing multiple compactions; the instrumented maintenance fn
+    asserts the ordering invariant directly, and the loop structures
+    (BoW rows, pose-graph edges) must reference only live slots after."""
+    import dataclasses
+    from modular_slam_tpu.models.pipelines import full_slam_pipeline
+    from modular_slam_tpu.eval.synthetic import BoxSceneGenerator
+    from tests.test_executor import cfg320
+
+    cfg = cfg320()
+    cfg = dataclasses.replace(cfg, map=dataclasses.replace(
+        cfg.map, max_keyframes=8, cull_protect_recent=512))
+    gen = BoxSceneGenerator(cfg.camera, seed=5)
+    poses = gen.loop_trajectory(32, radius=0.55) * 3   # 3 laps
+    frames = list(gen.sequence(poses))
+
+    sys_ = full_slam_pipeline(cfg, ba_mode="sync", defer_chunk_sync=True)
+
+    # instrument maintenance with the ordering invariant
+    from modular_slam_tpu.map.lifecycle import (compact_arena,
+                                                cull_landmarks,
+                                                evict_keyframes)
+    m = cfg.map
+    max_live = max(int(m.max_keyframes * m.kf_evict_target), 2)
+
+    def maint(arena):
+        arena = cull_landmarks(arena, m.cull_min_obs, m.cull_protect_recent)
+        arena = evict_keyframes(arena, max_live=max_live)
+        return compact_arena(arena)
+
+    maint_jit = jax.jit(maint, donate_argnums=(0,))
+    maint_calls = []
+
+    def checked_maint(arena):
+        assert sys_._pending_chunk is None, \
+            "compaction ran with a chunk pending (stale kf_slots)"
+        maint_calls.append(1)
+        return maint_jit(arena)
+
+    sys_._maint_fn = checked_maint
+
+    chunk = 8
+    rgbs = [f[0] for f in frames]
+    deps = [f[1] for f in frames]
+    tss = [f[2] for f in frames]
+    for lo in range(0, len(frames), chunk):
+        sys_.process_chunk(rgbs[lo:lo + chunk], deps[lo:lo + chunk],
+                           tss[lo:lo + chunk])
+    sys_.flush_backend()
+
+    assert sys_.n_compactions >= 2, sys_.n_compactions
+    assert len(maint_calls) == sys_.n_compactions
+    assert len(sys_.trajectory) == len(frames)
+    # pools stay bounded; mapping continued after compactions
+    assert int(sys_.arena.n_kf) <= 8
+    kf_created = sum(1 for r in sys_.results if bool(r.new_keyframe))
+    assert kf_created > 8, kf_created
+    # loop-side structures reference only live keyframe slots
+    n_kf = int(sys_.arena.n_kf)
+    db_valid = np.asarray(sys_._loop.db.valid)
+    assert not db_valid[n_kf:].any()
+    w = np.asarray(sys_._loop.edges.weight)
+    ei = np.asarray(sys_._loop.edges.i)[w > 0]
+    ej = np.asarray(sys_._loop.edges.j)[w > 0]
+    assert (ei < n_kf).all() and (ej < n_kf).all(), (n_kf, ei, ej)
+    # tracking survives to the end.  The bar is lower than the per-frame
+    # lifecycle test's: in deferred mode a loss persists up to 2 chunks
+    # (16 frames) before chunk-boundary relocalization fires, so an
+    # 8-slot pool sees longer outages; the regression target here is
+    # PERMANENT loss / corrupt mapping, not outage length.
+    late_ok = sum(1 for r in sys_.results[-32:] if bool(r.tracking_ok))
+    assert late_ok >= 8, late_ok
+    # mapping stayed live after the LAST compaction (slots kept recycling)
+    assert bool(np.asarray(sys_.arena.kf_valid)[:n_kf].all())
