@@ -63,7 +63,7 @@ def _sequence(generator="plane"):
     poses = gen.trajectory(N_FRAMES, step_t=(0.05, 0.02, 0.01),
                            step_rot=(0.004, 0.008, 0.004))
     frames = [(rgb, depth, ts) for rgb, depth, ts in gen.sequence(poses)]
-    return cfg, frames
+    return cfg, frames, poses
 
 
 def _stage_frames(frames):
@@ -146,7 +146,7 @@ def bench_ours_tracking(cfg, frames) -> float:
     return n / dt
 
 
-def bench_ours_full(cfg, frames, mode="pipelined"):
+def bench_ours_full(cfg, frames, mode="pipelined", ba_mode="sync"):
     """Full slam pipeline (tracking + per-keyframe local BA) through the
     chunked engine path, steady-state: frames pre-staged on device, first
     chunk is warmup (compiles the scan; the bootstrap keyframe compiles
@@ -158,7 +158,8 @@ def bench_ours_full(cfg, frames, mode="pipelined"):
 
     from modular_slam_tpu.models.pipelines import slam_pipeline
 
-    system = slam_pipeline(cfg, defer_chunk_sync=(mode == "pipelined"))
+    system = slam_pipeline(cfg, defer_chunk_sync=(mode == "pipelined"),
+                           ba_mode=ba_mode)
     grays, depths, times = _stage_frames(frames)
     tss = [ts for _, _, ts in frames]
 
@@ -180,7 +181,7 @@ def bench_ours_full(cfg, frames, mode="pipelined"):
     print(f"ours tracking+BA[{mode}]: {n} frames in {dt:.3f}s, "
           f"{system.n_keyframes} keyframes (BA each), "
           f"{n_ok}/{len(system.results)} ok", file=sys.stderr)
-    return n / dt, system.n_keyframes, n_ok
+    return n / dt, system.n_keyframes, n_ok, system
 
 
 def bench_stages(cfg, frames) -> dict:
@@ -324,42 +325,159 @@ def bench_stages(cfg, frames) -> dict:
     }
 
 
-def bench_loop(_cfg_unused) -> dict:
+def bench_degraded(n_frames=None) -> dict:
+    """Tracking+BA on the DEGRADED plane world (photometric noise,
+    exposure jitter, motion blur, moving distractor with its own depth —
+    eval/synthetic.py DegradedScene): throughput + tracked fraction +
+    ATE vs exact ground truth.  VERDICT r3 next #9: the only available
+    path toward TUM-realism credibility without network access."""
+    from modular_slam_tpu.config import SlamConfig
+    from modular_slam_tpu.eval.ate import ate_rmse
+    from modular_slam_tpu.eval.synthetic import (DegradedScene,
+                                                 PlaneSceneGenerator)
+
+    cfg = SlamConfig()
+    base = PlaneSceneGenerator(cfg.camera, seed=42, depth_noise=0.01)
+    gen = DegradedScene(base, seed=42)
+    n = n_frames or N_FRAMES
+    poses = base.trajectory(n, step_t=(0.05, 0.02, 0.01),
+                            step_rot=(0.004, 0.008, 0.004))
+    frames = [(rgb, depth, ts) for rgb, depth, ts in gen.sequence(poses)]
+    fps, n_kf, n_ok, system = bench_ours_full(cfg, frames, mode="pipelined")
+    est = np.array([
+        [ts, float(p.t[0]), float(p.t[1]), float(p.t[2]),
+         float(p.q[1]), float(p.q[2]), float(p.q[3]), float(p.q[0])]
+        for ts, p in system.trajectory])
+    gt = np.zeros((len(poses), 8))
+    for k, p in enumerate(poses):
+        gt[k, 0] = k / 30.0
+        gt[k, 1:4] = np.asarray(p.t)
+        q = np.asarray(p.q)
+        gt[k, 4:7], gt[k, 7] = q[1:4], q[0]
+    out = {
+        "tracking_ba_fps": round(fps, 3),
+        "tracked_ok": int(n_ok),
+        "n_frames": len(frames),
+        "n_keyframes": int(n_kf),
+        "degradations": "noise sigma=4, exposure jitter 12%, 5px motion "
+                        "blur, moving distractor w/ own depth, "
+                        "depth noise 1cm",
+    }
+    try:
+        out["ate_rmse_m"] = round(ate_rmse(est, gt)["rmse"], 4)
+    except ValueError as e:
+        out["ate_error"] = str(e)
+    print(f"degraded world: {out}", file=sys.stderr)
+    return out
+
+
+def _score_closures(system, poses, min_gap, thr=0.35,
+                    sweep=(0.05, 0.1, 0.15, 0.2, 0.3, 0.4, 0.5)) -> dict:
+    """Score accepted closures against synthetic ground truth (VERDICT r3
+    next #6): a closure (cur, cand) is a TRUE positive when the two
+    keyframes' ground-truth camera positions are within `thr` meters.
+    Recall counts keyframes that had a true revisit available (some
+    prior keyframe >= min_gap back within `thr`) and fired a closure.
+    The post-hoc score sweep reuses the event log: a closure accepted
+    with BoW score s would have fired at any gate <= s."""
+    kf_time = np.asarray(system.arena.kf_time)
+    kf_valid = np.asarray(system.arena.kf_valid)
+    gt_pos = np.array([np.asarray(p.t) for p in poses])
+
+    def slot_gt(slot):
+        fi = int(round(kf_time[slot] * 30.0))
+        return gt_pos[min(fi, len(gt_pos) - 1)]
+
+    events = []
+    for cur, cand, n_inl, score in system._loop.closures:
+        d = float(np.linalg.norm(slot_gt(cur) - slot_gt(cand)))
+        events.append((cur, cand, n_inl, score, d < thr))
+    tp = sum(1 for e in events if e[4])
+    fp = len(events) - tp
+
+    valid_slots = np.nonzero(kf_valid)[0]       # slot order = recency order
+    opp, hit = 0, 0
+    closed = {}
+    for cur, _, _, score, is_tp in events:
+        closed[cur] = max(closed.get(cur, 0.0), score if is_tp else 0.0)
+    for i, s in enumerate(valid_slots):
+        prior = valid_slots[: max(0, i - min_gap)]
+        if len(prior) == 0:
+            continue
+        dmin = min(float(np.linalg.norm(slot_gt(s) - slot_gt(p)))
+                   for p in prior)
+        if dmin < thr:
+            opp += 1
+            if s in closed:
+                hit += 1
+    out = {
+        "closures": len(events),
+        "true_positives": tp,
+        "false_positives": fp,
+        "recall": round(hit / opp, 3) if opp else None,
+        "revisit_opportunities": opp,
+        "verify_rejections": system._loop.n_verify_rejects,
+    }
+    out["score_sweep"] = {
+        str(t): {"tp": sum(1 for e in events if e[4] and e[3] >= t),
+                 "fp": sum(1 for e in events if not e[4] and e[3] >= t)}
+        for t in sweep}
+    return out
+
+
+def bench_loop(_cfg_unused, flagship=False) -> dict:
     """Loop-closure latency on a trajectory that verifiably CLOSES loops
     (the tests' two-lap noisy-depth revisit, tests/test_loop_e2e.py —
     the bench's 640x480 forward sweep never revisits): full pipeline
     (BoW query + verify + PGO + tier-compacted global BA on every
     verified closure), reporting mean wall ms per closure-handling
-    keyframe event (VERDICT r2 weak #3: this path was never measured)."""
+    keyframe event WITH a per-stage breakdown (bow/query/verify/pgo/
+    global-BA/fusion) and precision/recall vs the synthetic ground
+    truth.  `flagship=True` runs the 640x480 / 256-kf / 16k-lm /
+    131k-obs capacity point (VERDICT r3 next #2)."""
     import dataclasses
 
     import jax
 
     from modular_slam_tpu.config import (CameraConfig, DetectorConfig,
                                          LoopConfig, MapConfig, PnpConfig,
-                                         SlamConfig)
+                                         SlamConfig, TrackerConfig)
     from modular_slam_tpu.config import BackendConfig as _B
     from modular_slam_tpu.eval.synthetic import PlaneSceneGenerator
     from modular_slam_tpu.models.pipelines import full_slam_pipeline
 
-    cfg = SlamConfig(
-        camera=CameraConfig(fx=320.0, fy=320.0, cx=159.5, cy=119.5,
-                            width=320, height=240),
-        detector=DetectorConfig(n_levels=4, max_keypoints=384),
-        map=MapConfig(max_keyframes=64, max_landmarks=8192,
-                      max_observations=32768),
-        pnp=PnpConfig(n_hypotheses=64),
-        backend=_B(max_iterations=8),
-        loop=LoopConfig(min_gap_keyframes=4, min_score=0.05,
-                        min_inliers=25, global_ba_on_loop=True),
-    )
-    gen = PlaneSceneGenerator(cfg.camera, seed=3, depth_noise=0.03)
-    poses = gen.loop_trajectory(24, radius=1.2) * 4    # 4 laps
+    if flagship:
+        cfg = SlamConfig(
+            map=MapConfig(max_keyframes=256, max_landmarks=16384,
+                          max_observations=131072),
+            # force a keyframe cadence high enough to exercise the big
+            # tiers within a bounded frame budget
+            tracker=TrackerConfig(new_keyframe_min_inliers=120),
+            loop=LoopConfig(min_gap_keyframes=8, min_score=0.05,
+                            min_inliers=25, global_ba_on_loop=True),
+        )
+        gen = PlaneSceneGenerator(cfg.camera, seed=3, depth_noise=0.03)
+        poses = gen.loop_trajectory(48, radius=1.2) * 2    # 2 laps, 640x480
+    else:
+        cfg = SlamConfig(
+            camera=CameraConfig(fx=320.0, fy=320.0, cx=159.5, cy=119.5,
+                                width=320, height=240),
+            detector=DetectorConfig(n_levels=4, max_keypoints=384),
+            map=MapConfig(max_keyframes=64, max_landmarks=8192,
+                          max_observations=32768),
+            pnp=PnpConfig(n_hypotheses=64),
+            backend=_B(max_iterations=8),
+            loop=LoopConfig(min_gap_keyframes=4, min_score=0.05,
+                            min_inliers=25, global_ba_on_loop=True),
+        )
+        gen = PlaneSceneGenerator(cfg.camera, seed=3, depth_noise=0.03)
+        poses = gen.loop_trajectory(24, radius=1.2) * 4    # 4 laps
     frames = [(rgb, depth, ts) for rgb, depth, ts in gen.sequence(poses)]
     grays, depths, times = _stage_frames(frames)
     tss = [ts for _, _, ts in frames]
 
     system = full_slam_pipeline(cfg, ba_mode="sync")
+    system._loop.profile = True   # per-stage closure breakdown
     # warmup chunk compiles scan+loop jits
     system.process_chunk_device(grays[:CHUNK], depths[:CHUNK], tss[:CHUNK])
     jax.block_until_ready(system.arena)
@@ -381,6 +499,10 @@ def bench_loop(_cfg_unused) -> dict:
     a2, _ = lp._fuse(system.arena, jnp.int32(0), jnp.int32(0))
     system.arena = a2
     gba_warmup_runs = lp.n_global_ba
+    # warmup keyframes polluted the profile/event logs — reset them
+    lp.stage_ms = {k: [] for k in lp.stage_ms}
+    lp.closures = []
+    lp.n_verify_rejects = 0
 
     # instrument closure handling
     orig = system._loop.on_new_keyframe
@@ -405,11 +527,22 @@ def bench_loop(_cfg_unused) -> dict:
         "n_loop_closures": system.n_loop_closures,
         "n_keyframes": system.n_keyframes,
         "global_ba_runs": system._loop.n_global_ba - gba_warmup_runs,
+        "capacity": (f"{cfg.camera.width}x{cfg.camera.height}, "
+                     f"kf={cfg.map.max_keyframes}, "
+                     f"lm={cfg.map.max_landmarks}, "
+                     f"obs={cfg.map.max_observations}"),
     }
     if closure_times:
         out["closure_ms_mean"] = round(
             1e3 * sum(closure_times) / len(closure_times), 1)
         out["closure_ms_max"] = round(1e3 * max(closure_times), 1)
+    # per-stage breakdown (profiled wall ms; 'bow'/'query' run on every
+    # keyframe, the rest only on closure events)
+    out["stage_ms"] = {
+        k: round(sum(v) / len(v), 1)
+        for k, v in system._loop.stage_ms.items() if v}
+    out["accuracy"] = _score_closures(system, poses,
+                                      cfg.loop.min_gap_keyframes)
     print(f"loop bench: {out}", file=sys.stderr)
     return out
 
@@ -509,7 +642,17 @@ def _numpy_local_ba(kf_poses, points, obs, fixed0=True, iters=10,
     return [(R[a], t[a]) for a in range(K)], X, c_prev
 
 
-def bench_opencv_baseline(cfg, frames, with_ba: bool):
+def _gt_rows(poses):
+    gt = np.zeros((len(poses), 8))
+    for k, p in enumerate(poses):
+        gt[k, 0] = k / 30.0
+        gt[k, 1:4] = np.asarray(p.t)
+        q = np.asarray(p.q)
+        gt[k, 4:7], gt[k, 7] = q[1:4], q[0]
+    return gt
+
+
+def bench_opencv_baseline(cfg, frames, with_ba: bool, collect_traj=None):
     """The reference's per-frame hot path via OpenCV, with the reference's
     keyframe rule (inliers < 30 -> new keyframe, rgbd_feature_frontend.cpp
     :156-162) and, when with_ba, the proxy local BA per keyframe."""
@@ -567,6 +710,10 @@ def bench_opencv_baseline(cfg, frames, with_ba: bool):
             useExtrinsicGuess=True, iterationsCount=100,
             reprojectionError=5.0, confidence=0.99)
         n_inl = 0 if inl is None else len(inl)
+        if collect_traj is not None and okp:
+            Rcw = _rodrigues(rvec.ravel())
+            tw = -Rcw.T @ tvec.ravel()
+            collect_traj.append((frames[fi][2], Rcw.T, tw))
         if okp and n_inl < 30:  # reference keyframe rule
             R_cw = _rodrigues(rvec.ravel())
             t_cw = tvec.ravel()
@@ -623,24 +770,61 @@ def main() -> int:
     setup_compile_cache()
     import jax
 
-    cfg, frames = _sequence("plane")
+    cfg, frames, gt_poses = _sequence("plane")
     print(f"device: {jax.devices()[0]}", file=sys.stderr)
 
     startup_s = bench_startup(cfg, frames)
     fps_track = bench_ours_tracking(cfg, frames)
-    fps_full, n_kf, n_ok = bench_ours_full(cfg, frames, mode="pipelined")
-    fps_sync, _, _ = bench_ours_full(cfg, frames, mode="sync")
+    fps_full, n_kf, n_ok, sys_full = bench_ours_full(cfg, frames,
+                                                      mode="pipelined")
+    fps_sync, _, _, _ = bench_ours_full(cfg, frames, mode="sync")
+    # VERDICT r3 next #3: measure the CPU-offload async executor against
+    # inline-sync BA under the same deferred-pipelined chunking
+    fps_async, _, _, _ = bench_ours_full(cfg, frames, mode="pipelined",
+                                         ba_mode="async")
     stages = bench_stages(cfg, frames)
-    base_track_live = bench_opencv_baseline(cfg, frames, with_ba=False)
+    proxy_traj = []
+    base_track_live = bench_opencv_baseline(cfg, frames, with_ba=False,
+                                            collect_traj=proxy_traj)
     base_full_live = bench_opencv_baseline(cfg, frames, with_ba=True)
 
     # second scenario: box world (occlusion + depth discontinuities)
-    cfg_b, frames_b = _sequence("box")
-    fps_box, n_kf_box, ok_box = bench_ours_full(cfg_b, frames_b,
-                                                mode="pipelined")
+    cfg_b, frames_b, _ = _sequence("box")
+    fps_box, n_kf_box, ok_box, _ = bench_ours_full(cfg_b, frames_b,
+                                                   mode="pipelined")
     base_box_live = bench_opencv_baseline(cfg_b, frames_b, with_ba=True)
 
+    # classical-baseline accuracy row: the reference-pipeline proxy's own
+    # trajectory scored against exact ground truth, next to ours.  The
+    # docker ORB-SLAM3/stella generation of the reference's evaluate.py is
+    # environment-impossible (no network/docker); this is the in-env
+    # classical comparison substitute (VERDICT r3 missing #3).
+    from modular_slam_tpu.eval.ate import ate_rmse
+
+    gt_rows = _gt_rows(gt_poses)
+    accuracy = {}
+    try:
+        est_ours = np.array([
+            [ts, float(pp.t[0]), float(pp.t[1]), float(pp.t[2]),
+             float(pp.q[1]), float(pp.q[2]), float(pp.q[3]), float(pp.q[0])]
+            for ts, pp in sys_full.trajectory])
+        accuracy["ours_ate_rmse_m"] = round(
+            ate_rmse(est_ours, gt_rows)["rmse"], 4)
+    except ValueError as e:
+        accuracy["ours_ate_error"] = str(e)
+    try:
+        est_proxy = np.array([
+            [ts, t[0], t[1], t[2], 0.0, 0.0, 0.0, 1.0]
+            for ts, _R, t in proxy_traj])
+        accuracy["classical_proxy_ate_rmse_m"] = round(
+            ate_rmse(est_proxy, gt_rows)["rmse"], 4)
+        accuracy["classical_proxy_frames"] = len(proxy_traj)
+    except ValueError as e:
+        accuracy["classical_proxy_ate_error"] = str(e)
+
+    degraded = bench_degraded()
     loop_stats = bench_loop(cfg)
+    loop_flagship = bench_loop(cfg, flagship=True)
 
     pinned = _load_pinned_baseline()
     if pinned is not None:
@@ -665,6 +849,7 @@ def main() -> int:
         "ba_mode": "deferred-pipelined: host bookkeeping + BA dispatch "
                    "overlap the next chunk's device execution",
         "tracking_ba_sync_fps": round(fps_sync, 3),
+        "tracking_ba_async_offload_fps": round(fps_async, 3),
         "tracking_frames_per_s_per_chip": round(fps_track, 3),
         "tracking_vs_baseline": round(fps_track / base_track, 3),
         "baseline": base_note,
@@ -681,7 +866,10 @@ def main() -> int:
             "n_keyframes": int(n_kf_box),
             "tracked_ok": int(ok_box),
         },
+        "accuracy_plane_world": accuracy,
+        "degraded_world": degraded,
         "loop_closure": loop_stats,
+        "loop_closure_flagship": loop_flagship,
         "startup_warm_s": round(startup_s, 1),
         "n_keyframes": int(n_kf),
         "tracked_ok": int(n_ok),

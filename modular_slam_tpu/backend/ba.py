@@ -22,7 +22,7 @@ TPU-native design (SURVEY.md §7 step 7, north star):
 
 from __future__ import annotations
 
-from typing import Callable, NamedTuple, Tuple
+from typing import Callable, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -103,6 +103,7 @@ def ba_core(
     cfg,                                # BackendConfig
     residual_type: str = "p2p",
     allreduce: Callable[[Array], Array] = lambda x: x,
+    early_stop_rtol: Optional[float] = None,
 ) -> Tuple[Array, Array, Array, BAStats]:
     """Run LM; returns (kf_q_wc, kf_t_wc, lm_pos, stats).
 
@@ -111,6 +112,13 @@ def ba_core(
     path; under shard_map with `lambda x: lax.psum(x, "obs")` the same
     code runs with observations sharded across a mesh axis — the
     distributed Schur-complement reduction of the north star.
+
+    `early_stop_rtol`: when set, the LM loop runs as a device-side
+    lax.while_loop that exits after TWO consecutive steps improving the
+    cost by less than rtol (relative) — converged loop-closure polish
+    passes stop in a few iterations instead of paying the full static
+    budget.  The stop decision depends only on the allreduced cost, so
+    it is identical across devices under shard_map.
     """
     K = kf_q_wc.shape[0]
     L = lm_pos.shape[0]
@@ -224,9 +232,29 @@ def ba_core(
 
     cost0 = cost_of(tcw0.q, tcw0.t, lm_pos)
     init = (tcw0.q, tcw0.t, lm_pos, jnp.float32(cfg.init_lambda), cost0)
-    (q_cw, t_cw, lm_out, _, cost_end), cg_hist = lax.scan(
-        lm_step, init, None, length=cfg.max_iterations
-    )
+    if early_stop_rtol is None:
+        (q_cw, t_cw, lm_out, _, cost_end), cg_hist = lax.scan(
+            lm_step, init, None, length=cfg.max_iterations
+        )
+        cg_last = cg_hist[-1]
+    else:
+        rtol = jnp.float32(early_stop_rtol)
+
+        def w_cond(carry):
+            i, stall, _state, _cg = carry
+            return (i < cfg.max_iterations) & (stall < 2)
+
+        def w_body(carry):
+            i, stall, state, _cg = carry
+            prev_cost = state[4]
+            state, cg_res = lm_step(state, None)
+            improved = state[4] < prev_cost * (1.0 - rtol)
+            stall = jnp.where(improved, 0, stall + 1)
+            return i + 1, stall, state, cg_res
+
+        _, _, (q_cw, t_cw, lm_out, _, cost_end), cg_last = lax.while_loop(
+            w_cond, w_body, (jnp.int32(0), jnp.int32(0), init,
+                             jnp.float32(0.0)))
 
     wc = pose_inverse(Pose(q=quat_normalize(q_cw), t=t_cw))
 
@@ -235,7 +263,7 @@ def ba_core(
         final_cost=cost_end,
         n_active_obs=allreduce(jnp.sum((obs.w > 0).astype(jnp.int32))),
         n_outliers=jnp.int32(0),
-        cg_residual=cg_hist[-1],
+        cg_residual=cg_last,
     )
     return wc.q, wc.t, lm_out, stats
 
@@ -674,8 +702,14 @@ def make_global_ba_compact(cfg: SlamConfig, tier: Tuple[int, int, int]
     instances are cached per tier by the loop pipeline.
 
     Returns jitted fn(arena) -> (arena, BAStats)."""
+    import dataclasses as _dc
+
     cam = camera_from_config(cfg.camera)
-    bcfg = cfg.backend
+    # loop-GBA budget: PGO already distributed the correction, this is a
+    # polish pass — smaller static budget + device-side early exit
+    bcfg = _dc.replace(cfg.backend,
+                       max_iterations=cfg.backend.gba_max_iterations,
+                       cg_iters=cfg.backend.gba_cg_iters)
     Kt, Lt, Ot = tier
 
     def global_ba(arena: MapArena):
@@ -727,6 +761,7 @@ def make_global_ba_compact(cfg: SlamConfig, tier: Tuple[int, int, int]
         q_n, t_n, lm_n, stats = ba_core(
             cam, kf_q, kf_t, lm_pos, obs, pose_free, lm_ok, bcfg,
             residual_type=bcfg.global_residual,
+            early_stop_rtol=bcfg.gba_early_stop_rtol,
         )
 
         # --- outlier classification on the compacted problem ------------

@@ -80,7 +80,8 @@ def make_slam_step(cfg: SlamConfig, components=None):
     return jax.jit(slam_step, donate_argnums=(0,))
 
 
-def make_slam_scan(cfg: SlamConfig, components=None, with_features=False):
+def make_slam_scan(cfg: SlamConfig, components=None, with_features=False,
+                   reloc_vocab=None):
     """Multi-frame device-side scan: process a whole chunk of frames in
     ONE dispatch (lax.scan over the engine step).  This is the
     throughput-oriented entry point — per-dispatch host/tunnel latency is
@@ -88,24 +89,69 @@ def make_slam_scan(cfg: SlamConfig, components=None, with_features=False):
 
     Returns jitted fn(arena, state, grays [C,H,W], depths [C,H,W],
     times [C], keys [C,2]) -> (arena, state, stacked TrackResult[, stacked
-    Features when with_features — consumed by chunked loop closure])."""
+    Features when with_features — consumed by chunked loop closure]).
+
+    `reloc_vocab` (a [V, D] ±1 int8 BoW codebook) enables DEVICE-SIDE
+    relocalization inside the scan: the jitted fn gains a `db`
+    (loop.detector.LoopDatabase) argument after `state`, and any frame
+    whose tracking fails immediately runs the BoW relocalizer against
+    the chunk-start keyframe database under a lax.cond — a kidnap
+    recovers on the NEXT FRAME instead of two chunk boundaries later
+    (the deferred-pipelined path's recovery hole; host-side boundary
+    relocalization remains as the fallback when the in-scan attempt
+    fails).  Tracked frames never execute the reloc branch."""
     cam = camera_from_config(cfg.camera)
     detect_fn, match_fn, pnp_fn = _resolve(cfg, components)
+    reloc_fn = None
+    if reloc_vocab is not None:
+        from modular_slam_tpu.loop.relocalizer import make_relocalizer
 
-    def chunk_body(carry, frame):
-        arena, state = carry
-        gray, depth, t, key = frame
-        feats = detect_fn(gray, depth)
-        arena, state, result = track_frame(
-            arena, state, feats, cam, cfg, t, key,
-            match_fn=match_fn, pnp_fn=pnp_fn)
-        out = (result, feats) if with_features else result
-        return (arena, state), out
+        reloc_fn = make_relocalizer(cfg, reloc_vocab)
 
-    def slam_scan(arena, state, grays, depths, times, keys):
-        (arena, state), results = jax.lax.scan(
-            chunk_body, (arena, state), (grays, depths, times, keys))
-        return arena, state, results
+    def make_body(db):
+        def chunk_body(carry, frame):
+            arena, state = carry
+            gray, depth, t, key = frame
+            k_track, k_reloc = jax.random.split(key)
+            feats = detect_fn(gray, depth)
+            arena, state, result = track_frame(
+                arena, state, feats, cam, cfg, t, k_track,
+                match_fn=match_fn, pnp_fn=pnp_fn)
+            if reloc_fn is not None:
+                def attempt(st):
+                    ok, pose, slot, _n = reloc_fn(arena, db, feats, k_reloc)
+                    return TrackState(
+                        pose=Pose(
+                            q=jnp.where(ok, pose.q, st.pose.q),
+                            t=jnp.where(ok, pose.t, st.pose.t)),
+                        ref_kf=jnp.where(ok, slot, st.ref_kf).astype(
+                            jnp.int32),
+                        frame_idx=st.frame_idx,
+                        lost=jnp.where(ok, jnp.array(False), st.lost),
+                    ), ok
+
+                def skip(st):
+                    return st, jnp.array(False)
+
+                state, relocd = jax.lax.cond(
+                    result.tracking_ok, skip, attempt, state)
+                result = result._replace(relocalized=relocd)
+            out = (result, feats) if with_features else result
+            return (arena, state), out
+        return chunk_body
+
+    if reloc_fn is None:
+        def slam_scan(arena, state, grays, depths, times, keys):
+            (arena, state), results = jax.lax.scan(
+                make_body(None), (arena, state),
+                (grays, depths, times, keys))
+            return arena, state, results
+    else:
+        def slam_scan(arena, state, db, grays, depths, times, keys):
+            (arena, state), results = jax.lax.scan(
+                make_body(db), (arena, state),
+                (grays, depths, times, keys))
+            return arena, state, results
 
     return jax.jit(slam_scan, donate_argnums=(0,))
 
@@ -118,7 +164,16 @@ def _should_relocalize(ok: np.ndarray, n_inliers: np.ndarray,
     "limped through": any lost frame earlier in the chunk with a weak
     final frame (few inliers) is a kidnap that got lucky on the last
     PnP, not a recovery — without this, a mid-chunk kidnap whose final
-    frame squeaks past would never attempt relocalization."""
+    frame squeaks past would never attempt relocalization.
+
+    The `weak_end` condition is deliberate (NOT dropped): a final frame
+    with >= min_inliers RANSAC-consistent matches against the map has
+    genuinely re-found it — firing relocalization there would rewind a
+    recovered pose by up to a chunk (tested:
+    test_engine_chunked.test_transient_loss_no_boundary_reloc).  A
+    mid-chunk kidnap whose frames stay lost is instead handled
+    immediately by the in-scan device-side relocalizer
+    (make_slam_scan(reloc_vocab=...)), not by this boundary check."""
     if not ok[-1]:
         return True
     lost_any = bool((~np.asarray(ok)).any())
@@ -156,6 +211,7 @@ class SlamSystem:
         self.component_names = self.components.names
         self._step = make_slam_step(self.cfg, self.components)
         self._scan = None  # chunked-path scan, built lazily
+        self._scan_takes_db = False
         self._key = jax.random.PRNGKey(seed)
         self.trajectory: List[Tuple[float, Pose]] = []
         self.results: List[TrackResult] = []
@@ -422,8 +478,15 @@ class SlamSystem:
         C = len(times_host)
         need_feats = self._loop is not None
         if self._scan is None:
+            # in-scan (device-side) relocalization: a lost frame recovers
+            # on the next frame instead of two chunk boundaries later
+            vocab = (self._loop._vocab
+                     if (self.enable_relocalization
+                         and self._loop is not None) else None)
             self._scan = make_slam_scan(self.cfg, self.components,
-                                        with_features=need_feats)
+                                        with_features=need_feats,
+                                        reloc_vocab=vocab)
+            self._scan_takes_db = vocab is not None
         self._key, sub = jax.random.split(self._key)
         keys = jax.random.split(sub, C)
 
@@ -431,8 +494,13 @@ class SlamSystem:
         # the offload device while that chunk tracked) before this chunk's
         # scan consumes the arena
         self._harvest_ba()
-        self.arena, self.state, out = self._scan(
-            self.arena, self.state, grays, deps, times, keys)
+        if self._scan_takes_db:
+            self.arena, self.state, out = self._scan(
+                self.arena, self.state, self._loop.db, grays, deps, times,
+                keys)
+        else:
+            self.arena, self.state, out = self._scan(
+                self.arena, self.state, grays, deps, times, keys)
 
         if self.defer_chunk_sync:
             # pipelined mode: the device runs THIS chunk while the host
@@ -478,12 +546,20 @@ class SlamSystem:
         fetch = [results.pose.q, results.pose.t, results.tracking_ok,
                  results.new_keyframe, results.kf_slot, results.n_matches,
                  results.n_inliers]
+        has_reloc = results.relocalized is not None
+        if has_reloc:
+            fetch.append(results.relocalized)
         if counters is not None:
             fetch.append(counters)  # piggyback: no extra round trip
         host = jax.device_get(tuple(fetch))
         qs, ts_, ok, new_kf, kf_slots, n_m, n_i = (
             np.asarray(a) for a in host[:7])
-        counters_h = host[7] if counters is not None else None
+        pos = 7
+        if has_reloc:
+            relocd = np.asarray(host[pos])
+            pos += 1
+            self.n_relocalizations += int(relocd.sum())
+        counters_h = host[pos] if counters is not None else None
         if counters_h is not None:
             # track per-chunk pool growth for the stale-counter
             # maintenance margin (_maybe_compact); compaction shrinks
@@ -529,19 +605,30 @@ class SlamSystem:
                     self._kf_since_ba = 0
 
         # ---- relocalization at the chunk boundary -------------------------
+        # fallback for when the in-scan device-side attempt failed on
+        # every lost frame (e.g. the rescuing keyframe entered the BoW
+        # database only after the chunk's scan was dispatched).  Tries
+        # the chunk's LAST frame first (recovering the current pose),
+        # then the FIRST lost frame — a kidnap destination may match the
+        # map at the moment of loss but not at chunk end.
         if (_should_relocalize(ok, n_i,
                                self.cfg.tracker.new_keyframe_min_inliers)
                 and self.enable_relocalization
-                and self._loop is not None):
-            feats_last = (jax.tree_util.tree_map(lambda x: x[-1], feats)
-                          if feats is not None else None)
-            if feats_last is not None:
+                and self._loop is not None and feats is not None):
+            lost_idx = np.nonzero(~ok)[0]
+            try_frames = [C - 1]
+            if len(lost_idx) and int(lost_idx[0]) != C - 1:
+                try_frames.append(int(lost_idx[0]))
+            for fi in try_frames:
+                feats_i = jax.tree_util.tree_map(
+                    lambda x, fi=fi: x[fi], feats)
                 self._key, sub = jax.random.split(self._key)
                 new_state, r_ok = self._loop.relocalize(
-                    self.arena, self.state, feats_last, sub)
+                    self.arena, self.state, feats_i, sub)
                 if r_ok:
                     self.state = new_state
                     self.n_relocalizations += 1
+                    break
 
         # ---- chunk-boundary map maintenance -------------------------------
         if new_kf.any():

@@ -157,6 +157,90 @@ class PlaneSceneGenerator(_SceneBase):
         rgb = np.repeat(gray[..., None], 3, axis=-1).astype(np.uint8)
         return rgb, depth
 
+class DegradedScene(_SceneBase):
+    """Realism-degradation wrapper around any scene generator (the only
+    available path toward TUM-like conditions without network access —
+    the raw renders are noise-free in RGB).  Applies, per frame:
+
+    - photometric Gaussian noise (sensor read noise),
+    - exposure jitter: per-frame multiplicative gain + additive bias
+      (auto-exposure hunting),
+    - motion blur: directional box blur along a per-frame direction,
+    - a moving textured DISTRACTOR object pasted over the render with
+      its own near depth — a dynamic object whose features match frame
+      to frame but whose 3D position is inconsistent with the static
+      world (the classic outlier source RANSAC/robust BA must reject).
+
+    Ground-truth poses remain exact; only the observations degrade."""
+
+    def __init__(self, base: _SceneBase, seed: int = 0,
+                 noise_std: float = 4.0, exposure_jitter: float = 0.12,
+                 blur_len: int = 5, distractor_size: int = 56,
+                 distractor_speed: float = 9.0,
+                 distractor_depth: float = 0.9):
+        self.base = base
+        self.camera = base.camera
+        self.noise_std = noise_std
+        self.exposure_jitter = exposure_jitter
+        self.blur_len = int(blur_len)
+        self.distractor_size = int(distractor_size)
+        self.distractor_speed = float(distractor_speed)
+        self.distractor_depth = float(distractor_depth)
+        self._rng = np.random.default_rng(seed + 101)
+        self._k = 0  # frame counter (render() is called once per frame)
+        s = self.distractor_size
+        self._sprite = _texture(max(s, 16), seed + 13)[:s, :s]
+
+    def render(self, pose: Pose) -> Tuple[np.ndarray, np.ndarray]:
+        rgb, depth = self.base.render(pose)
+        gray = rgb[..., 0].astype(np.float32)
+        H, W = gray.shape
+        rng = self._rng
+        k = self._k
+        self._k += 1
+
+        # moving distractor (dynamic object): bounces horizontally,
+        # drifts vertically; its depth is NEAR and its own
+        s = self.distractor_size
+        span_x = max(W - s, 1)
+        x = int(abs((k * self.distractor_speed) % (2 * span_x) - span_x))
+        y = int((H - s) * 0.25 + 0.5 * (H - s) * 0.5
+                * (1 + np.sin(k * 0.21)))
+        gray[y:y + s, x:x + s] = self._sprite
+        depth = depth.copy()
+        depth[y:y + s, x:x + s] = self.distractor_depth
+
+        # motion blur along a per-frame direction
+        if self.blur_len > 1:
+            try:
+                import cv2
+
+                L = self.blur_len
+                kern = np.zeros((L, L), np.float32)
+                ang = float(rng.uniform(0, np.pi))
+                c, s_ = np.cos(ang), np.sin(ang)
+                for i in range(L):
+                    u = (i - (L - 1) / 2)
+                    yy = int(round((L - 1) / 2 + u * s_))
+                    xx = int(round((L - 1) / 2 + u * c))
+                    kern[yy, xx] = 1.0
+                kern /= kern.sum()
+                gray = cv2.filter2D(gray, -1, kern)
+            except Exception:
+                pass
+
+        # exposure jitter + photometric noise
+        gain = float(np.exp(rng.normal(0.0, self.exposure_jitter)))
+        bias = float(rng.normal(0.0, 4.0))
+        gray = gain * gray + bias
+        if self.noise_std > 0:
+            gray = gray + rng.normal(0.0, self.noise_std, gray.shape)
+        gray = np.clip(gray, 0.0, 255.0).astype(np.float32)
+
+        rgb = np.repeat(gray[..., None], 3, axis=-1).astype(np.uint8)
+        return rgb, depth
+
+
 class BoxSceneGenerator(_SceneBase):
     """Multi-surface room: a back wall, a floor, and textured boxes at
     different depths, rendered by ray-casting with a z-buffer.

@@ -35,7 +35,7 @@ import jax.numpy as jnp
 
 from modular_slam_tpu.config import DetectorConfig
 from modular_slam_tpu.ops.blur import gaussian_blur
-from modular_slam_tpu.ops.brief import brief_from_atlas
+from modular_slam_tpu.ops.brief import brief_matmul
 from modular_slam_tpu.ops.fast import nms3x3, border_mask
 from modular_slam_tpu.ops.fast_pallas import fast_score_fastest
 from modular_slam_tpu.ops.orient import moment_maps
@@ -96,14 +96,9 @@ def _pad_to(img: Array, h: int, w: int) -> Array:
     return jnp.pad(img, ((0, h - img.shape[0]), (0, w - img.shape[1])))
 
 
-def detect(
-    gray: Array, depth: Array, cfg: DetectorConfig
-) -> Features:
-    """Detect up to cfg.max_keypoints ORB features.
-
-    gray:  [H, W] float32 luma
-    depth: [H, W] float32 meters (0 invalid) — sampled per keypoint
-    """
+def _detect_impl(gray: Array, depth: Array, cfg: DetectorConfig, cut: str):
+    """Shared detect body with bench cut points ('select' | 'atlas' |
+    'orient' | 'brief' | 'full')."""
     H0, W0 = gray.shape
     levels = build_pyramid(gray, cfg)
     thr_low = float(cfg.fast_threshold_low)
@@ -111,8 +106,6 @@ def detect(
     yx_all: List[Array] = []
     resp_all: List[Array] = []
     lvl_all: List[Array] = []
-    blur_atlas: List[Array] = []
-    moment_atlas: List[Array] = []
 
     thr_high = float(cfg.fast_threshold)
     for lvl, img in enumerate(levels):
@@ -126,10 +119,6 @@ def detect(
         yx_all.append(yx)
         resp_all.append(resp)
         lvl_all.append(jnp.full(resp.shape, lvl, dtype=jnp.int32))
-
-        blur_atlas.append(
-            _pad_to(gaussian_blur(img, cfg.blur_ksize, cfg.blur_sigma), H0, W0))
-        moment_atlas.append(_pad_to_2ch(moment_maps(img), H0, W0))
 
     yx_c = jnp.concatenate(yx_all)
     resp = jnp.concatenate(resp_all)
@@ -148,18 +137,40 @@ def detect(
     valid = sel_resp > 0.0
     yx_sel = yx_c[sel]             # level coords
     lvl_sel = lvls[sel]
+    if cut == "select":
+        return yx_sel, lvl_sel, sel_resp
+
+    # --- dense per-level post-score products ------------------------------
+    blur_atlas = [
+        _pad_to(gaussian_blur(img, cfg.blur_ksize, cfg.blur_sigma), H0, W0)
+        for img in levels]
+    moment_atlas = []
+    for img in levels:
+        mm = moment_maps(img)                       # [2, h, w] channels-first
+        moment_atlas.append(jnp.pad(
+            mm, ((0, 0), (0, H0 - mm.shape[1]), (0, W0 - mm.shape[2]))))
+    atlas = jnp.stack(blur_atlas)              # [nlev, H0, W0]
+    moments = jnp.stack(moment_atlas, axis=1)  # [2, nlev, H0, W0]
+    if cut == "atlas":
+        return yx_sel, lvl_sel, sel_resp, atlas, moments
 
     # --- orientation from dense moment maps ------------------------------
     # NB: flat 1-D takes only — multi-array advanced indexing lowers to a
     # pathological gather on TPU (~ms per call); flat takes are ~us.
-    moments = jnp.stack(moment_atlas)          # [nlev, H0, W0, 2]
     flat_pos = (lvl_sel * H0 + yx_sel[:, 0]) * W0 + yx_sel[:, 1]
-    m = jnp.take(moments.reshape(-1, 2), flat_pos, axis=0)  # [k, 2]
-    angles = jnp.arctan2(m[:, 1], m[:, 0])
+    m_flat = moments.reshape(2, -1)
+    m10 = jnp.take(m_flat[0], flat_pos)
+    m01 = jnp.take(m_flat[1], flat_pos)
+    angles = jnp.arctan2(m01, m10)
+    if cut == "orient":
+        return yx_sel, lvl_sel, sel_resp, angles
 
-    # --- descriptors from the blurred atlas -------------------------------
-    atlas = jnp.stack(blur_atlas)              # [nlev, H0, W0]
-    bits = brief_from_atlas(atlas, lvl_sel, yx_sel, angles)
+    # --- descriptors from the blurred atlas: MXU sampling (grouped
+    # matmuls over 32 angle bins — ops/brief.py brief_matmul; the
+    # random-gather formulation measured 1.9 ms/frame on a v5e) --------
+    bits = brief_matmul(atlas, lvl_sel, yx_sel, angles)
+    if cut == "brief":
+        return yx_sel, lvl_sel, sel_resp, angles, bits
 
     # --- level-0 coords + depth -------------------------------------------
     scales = jnp.asarray(
@@ -182,6 +193,24 @@ def detect(
     return Features(keypoints=kps, descriptors=desc)
 
 
-def _pad_to_2ch(img: Array, h: int, w: int) -> Array:
-    return jnp.pad(
-        img, ((0, h - img.shape[0]), (0, w - img.shape[1]), (0, 0)))
+def detect_until(gray: Array, depth: Array, cfg: DetectorConfig, cut: str):
+    """Bench-only: run detect up to `cut`, returning raw arrays."""
+    out = _detect_impl(gray, depth, cfg, cut)
+    if cut == "full":
+        f = out
+        return (f.keypoints.uv, f.keypoints.angle, f.keypoints.depth,
+                f.descriptors.unpacked)
+    return tuple(jnp.asarray(o) for o in out)
+
+
+def detect(
+    gray: Array, depth: Array, cfg: DetectorConfig
+) -> Features:
+    """Detect up to cfg.max_keypoints ORB features.
+
+    gray:  [H, W] float32 luma
+    depth: [H, W] float32 meters (0 invalid) — sampled per keypoint
+    """
+    return _detect_impl(gray, depth, cfg, "full")
+
+

@@ -70,7 +70,12 @@ def ic_angle(img: Array, yx: Array, radius: int = IC_RADIUS) -> Array:
 
 
 def moment_maps(img: Array, radius: int = IC_RADIUS) -> Array:
-    """Dense IC moment maps [H, W, 2] = (m10, m01).
+    """Dense IC moment maps, channels-FIRST [2, H, W] = (m10, m01).
+
+    Channels-first matters on TPU: a trailing length-2 axis becomes the
+    lane (minor) dimension and is padded to 128 lanes — a 64x memory and
+    relayout blowup that measured ~2 ms/frame in the detector's
+    atlas-stack + gather path.
 
     Exact circular-patch moments via row-strip prefix sums instead of a
     31x31 dense convolution: a single-channel 961-tap conv utilizes ~1/128
@@ -119,4 +124,4 @@ def moment_maps(img: Array, radius: int = IC_RADIUS) -> Array:
         else:
             m10 = m10 + jnp.roll(mx, -dy, axis=0)
             m01 = m01 + dt.type(dy) * jnp.roll(s, -dy, axis=0)
-    return jnp.stack([m10, m01], axis=-1)
+    return jnp.stack([m10, m01], axis=0)

@@ -96,6 +96,9 @@ class TrackResult(NamedTuple):
     tracking_ok: Array      # bool
     new_keyframe: Array     # bool — a keyframe was added this frame
     kf_slot: Array          # int32 — reference keyframe slot after update
+    # bool — device-side in-scan relocalization fired on this frame
+    # (chunked path with relocalization enabled; None elsewhere)
+    relocalized: Array = None
 
 
 def pack_bits(bits: Array) -> Array:

@@ -100,3 +100,41 @@ def test_tracking_rotation_heavy_on_box_world():
         for k, p in enumerate(poses)])
     stats = ate_rmse(est, gt)
     assert stats["rmse"] < 0.03, stats
+
+
+def test_degraded_world_tracks_and_stays_accurate():
+    """DegradedScene (photometric noise + exposure jitter + motion blur
+    + moving distractor): tracking must survive and stay accurate —
+    robust matching (ratio test), RANSAC PnP, and Huber BA are exactly
+    the mechanisms that exist to reject this (VERDICT r3 next #9)."""
+    import numpy as np
+    from modular_slam_tpu.eval.ate import ate_rmse
+    from modular_slam_tpu.eval.synthetic import (DegradedScene,
+                                                 PlaneSceneGenerator)
+    from modular_slam_tpu.models.pipelines import slam_pipeline
+    from tests.test_executor import cfg320
+
+    cfg = cfg320()
+    base = PlaneSceneGenerator(cfg.camera, seed=21, depth_noise=0.01)
+    gen = DegradedScene(base, seed=21, distractor_size=40)
+    poses = base.trajectory(24, step_t=(0.08, 0.01, 0.0))
+    frames = list(gen.sequence(poses))
+    sys_ = slam_pipeline(cfg)
+    for rgb, depth, ts in frames:
+        sys_.process(rgb, depth, ts)
+    n_ok = sum(1 for r in sys_.results if bool(r.tracking_ok))
+    assert n_ok >= 20, n_ok
+    est = np.array([
+        [ts, float(p.t[0]), float(p.t[1]), float(p.t[2]),
+         float(p.q[1]), float(p.q[2]), float(p.q[3]), float(p.q[0])]
+        for ts, p in sys_.trajectory])
+    gt = np.zeros((len(poses), 8))
+    for k, p in enumerate(poses):
+        gt[k, 0] = k / 30.0
+        gt[k, 1:4] = np.asarray(p.t)
+        q = np.asarray(p.q)
+        gt[k, 4:7], gt[k, 7] = q[1:4], q[0]
+    ate = ate_rmse(est, gt)["rmse"]
+    # looser than the clean-world 0.02 bar: the render is degraded and a
+    # dynamic object is present, but drift must stay centimetric
+    assert ate < 0.06, ate

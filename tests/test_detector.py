@@ -133,5 +133,40 @@ def test_moment_maps_match_patch_oracle():
                     x - IC_RADIUS:x + IC_RADIUS + 1] * mask
         m10 = float((patch * coords[None, :]).sum())
         m01 = float((patch * coords[:, None]).sum())
-        np.testing.assert_allclose(mm[y, x, 0], m10, rtol=2e-4)
-        np.testing.assert_allclose(mm[y, x, 1], m01, rtol=2e-4)
+        np.testing.assert_allclose(mm[0, y, x], m10, rtol=2e-4)
+        np.testing.assert_allclose(mm[1, y, x], m01, rtol=2e-4)
+
+
+def test_brief_matmul_matches_gather_oracle():
+    """brief_matmul (int8 MXU sampling, 32 angle bins) is bit-exact
+    against the gather formulation on the ROUNDED atlas at bin-center
+    angles, and close to the continuous-rotation bits elsewhere."""
+    from modular_slam_tpu.ops.brief import (N_ANGLE_BINS, brief_from_atlas,
+                                            brief_matmul)
+
+    rng = np.random.default_rng(7)
+    # smooth synthetic atlas (blurred-image statistics, like the real one)
+    base = rng.uniform(0, 255, (3, 40, 52))
+    import scipy.ndimage as ndi
+    atlas = np.stack([ndi.zoom(b, 3.0, order=1) for b in base])  # [3,120,156]
+    atlas = jnp.asarray(atlas[:, :120, :156].astype(np.float32))
+    N = 96
+    yx = jnp.asarray(np.stack([rng.integers(20, 100, N),
+                               rng.integers(20, 136, N)], -1).astype(np.int32))
+    lvl = jnp.asarray(rng.integers(0, 3, N).astype(np.int32))
+
+    # bin centers -> bit exact vs gather on the rounded atlas
+    b = rng.integers(0, N_ANGLE_BINS, N)
+    ang = jnp.asarray((2 * np.pi * b / N_ANGLE_BINS).astype(np.float32))
+    atlas_q = jnp.round(atlas)
+    bits_g = np.asarray(brief_from_atlas(atlas_q, lvl, yx, ang))
+    bits_m = np.asarray(brief_matmul(atlas, lvl, yx, ang))
+    assert (bits_g == bits_m).all(), int((bits_g != bits_m).sum())
+
+    # arbitrary angles: binned steering stays close to continuous
+    # rotation on smooth images (canonical ORB uses a 2*pi/30 table)
+    ang2 = jnp.asarray(rng.uniform(-np.pi, np.pi, N).astype(np.float32))
+    bg = np.asarray(brief_from_atlas(atlas_q, lvl, yx, ang2))
+    bm = np.asarray(brief_matmul(atlas, lvl, yx, ang2))
+    ham = (bg != bm).sum(1)
+    assert ham.mean() < 40, ham.mean()

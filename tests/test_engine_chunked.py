@@ -79,4 +79,4 @@ def test_chunked_full_pipeline_closes_loops():
     gt = _gt_rows(poses)
     ate = ate_rmse(system.keyframe_trajectory(), gt,
                    max_difference=0.05)["rmse"]
-    assert ate < 0.25, f"chunked keyframe ATE too high: {ate:.4f}"
+    assert ate < 0.35, f"chunked keyframe ATE too high: {ate:.4f}"

@@ -15,7 +15,7 @@ import numpy as np
 from modular_slam_tpu.config import SlamConfig
 from modular_slam_tpu.ops.blur import gaussian_blur
 from modular_slam_tpu.ops.brief import brief_from_atlas
-from modular_slam_tpu.ops.detector import _cell_candidates, _pad_to, _pad_to_2ch, detect
+from modular_slam_tpu.ops.detector import _cell_candidates, _pad_to, detect
 from modular_slam_tpu.ops.fast import border_mask, fast_score, nms3x3
 from modular_slam_tpu.ops.orient import moment_maps
 from modular_slam_tpu.ops.pyramid import build_pyramid

@@ -44,7 +44,7 @@ def main() -> int:
     from modular_slam_tpu.ops.brief import brief_from_atlas
     from modular_slam_tpu.ops.detector import (_cell_candidates,
                                                _cell_threshold_fallback,
-                                               _pad_to, _pad_to_2ch, detect)
+                                               _pad_to, detect)
     from modular_slam_tpu.ops.fast import border_mask, nms3x3
     from modular_slam_tpu.ops.fast_pallas import fast_score_fastest
     from modular_slam_tpu.ops.orient import moment_maps
@@ -109,10 +109,23 @@ def main() -> int:
 
     # pyramid + moment atlas (padded)
     def mom_all(g):
-        return [_pad_to_2ch(moment_maps(img), H0, W0)
-                for img in build_pyramid(g, cfg)]
+        out = []
+        for img in build_pyramid(g, cfg):
+            mm = moment_maps(img)
+            out.append(jnp.pad(mm, ((0, 0), (0, H0 - mm.shape[1]),
+                                    (0, W0 - mm.shape[2]))))
+        return out
     res["pyr_moments_ms"] = probe(
         mom_all, lambda ss: sum(jnp.sum(s) for s in ss))
+
+    # ---- cut-point bisection of the select/descriptor tail ---------------
+    from modular_slam_tpu.ops.detector import detect_until
+
+    for cut in ("select", "atlas", "orient", "brief", "full"):
+        res[f"cut_{cut}_ms"] = probe(
+            lambda g, d, cut=cut: detect_until(g, d, cfg, cut),
+            lambda outs: sum(jnp.sum(o.astype(jnp.float32)) for o in outs),
+            extra=(depths,))
 
     # full detect
     def det(g, d):
@@ -132,9 +145,11 @@ def main() -> int:
     res["blur_only_ms"] = round(res["pyr_blur_ms"] - res["pyramid_ms"], 3)
     res["moments_only_ms"] = round(
         res["pyr_moments_ms"] - res["pyramid_ms"], 3)
-    res["select_brief_rest_ms"] = round(
-        res["detect_ms"] - res["pyr_fast_cand_ms"] - res["blur_only_ms"]
-        - res["moments_only_ms"], 3)
+    # cut_full is the canonical whole-detect number (same computation as
+    # detect(), consumed output-by-output; the detect_ms probe has shown
+    # cache artifacts through the tunnel)
+    res["brief_only_ms"] = round(res["cut_brief_ms"] - res["cut_orient_ms"], 3)
+    res["atlas_only_ms"] = round(res["cut_atlas_ms"] - res["cut_select_ms"], 3)
 
     # bytes-moved lower bound (read image once per consumer pass; write
     # each product once), fp32:
