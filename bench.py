@@ -371,15 +371,19 @@ def bench_degraded(n_frames=None) -> dict:
     return out
 
 
-def _score_closures(system, poses, min_gap, thr=0.35,
+def _score_closures(system, poses, min_gap, thr=0.35, opp_thr=0.5,
                     sweep=(0.05, 0.1, 0.15, 0.2, 0.3, 0.4, 0.5)) -> dict:
     """Score accepted closures against synthetic ground truth (VERDICT r3
-    next #6): a closure (cur, cand) is a TRUE positive when the two
-    keyframes' ground-truth camera positions are within `thr` meters.
+    next #6): a closure is a TRUE positive when the MEASURED query pose
+    from geometric verification lands within `thr` meters of the query
+    keyframe's ground-truth position — "did verification recover the
+    right pose" (a partial-overlap closure between distant keyframe
+    centers is genuine; keyframe-center distance would mislabel it).
     Recall counts keyframes that had a true revisit available (some
-    prior keyframe >= min_gap back within `thr`) and fired a closure.
-    The post-hoc score sweep reuses the event log: a closure accepted
-    with BoW score s would have fired at any gate <= s."""
+    prior keyframe >= min_gap back within `opp_thr` of the same place)
+    and fired a closure.  The post-hoc score sweep reuses the event
+    log: a closure accepted with BoW score s would have fired at any
+    gate <= s."""
     kf_time = np.asarray(system.arena.kf_time)
     kf_valid = np.asarray(system.arena.kf_valid)
     gt_pos = np.array([np.asarray(p.t) for p in poses])
@@ -389,9 +393,9 @@ def _score_closures(system, poses, min_gap, thr=0.35,
         return gt_pos[min(fi, len(gt_pos) - 1)]
 
     events = []
-    for cur, cand, n_inl, score in system._loop.closures:
-        d = float(np.linalg.norm(slot_gt(cur) - slot_gt(cand)))
-        events.append((cur, cand, n_inl, score, d < thr))
+    for cur, cand, n_inl, score, meas_t in system._loop.closures:
+        err = float(np.linalg.norm(np.asarray(meas_t) - slot_gt(cur)))
+        events.append((cur, cand, n_inl, score, err < thr))
     tp = sum(1 for e in events if e[4])
     fp = len(events) - tp
 
@@ -406,7 +410,7 @@ def _score_closures(system, poses, min_gap, thr=0.35,
             continue
         dmin = min(float(np.linalg.norm(slot_gt(s) - slot_gt(p)))
                    for p in prior)
-        if dmin < thr:
+        if dmin < opp_thr:
             opp += 1
             if s in closed:
                 hit += 1
@@ -450,10 +454,12 @@ def bench_loop(_cfg_unused, flagship=False) -> dict:
         cfg = SlamConfig(
             map=MapConfig(max_keyframes=256, max_landmarks=16384,
                           max_observations=131072),
-            # force a keyframe cadence high enough to exercise the big
-            # tiers within a bounded frame budget
-            tracker=TrackerConfig(new_keyframe_min_inliers=120),
-            loop=LoopConfig(min_gap_keyframes=8, min_score=0.05,
+            # near-every-frame keyframes: ~90 keyframes x ~400 landmarks
+            # drive the solve into the big compaction tiers; with ~45
+            # keyframes per lap the temporal gap must span most of a lap
+            # so only genuine lap-to-lap revisits count as candidates
+            tracker=TrackerConfig(new_keyframe_min_inliers=300),
+            loop=LoopConfig(min_gap_keyframes=32, min_score=0.05,
                             min_inliers=25, global_ba_on_loop=True),
         )
         gen = PlaneSceneGenerator(cfg.camera, seed=3, depth_noise=0.03)
@@ -476,52 +482,74 @@ def bench_loop(_cfg_unused, flagship=False) -> dict:
     grays, depths, times = _stage_frames(frames)
     tss = [ts for _, _, ts in frames]
 
-    system = full_slam_pipeline(cfg, ba_mode="sync")
-    system._loop.profile = True   # per-stage closure breakdown
-    # warmup chunk compiles scan+loop jits
-    system.process_chunk_device(grays[:CHUNK], depths[:CHUNK], tss[:CHUNK])
-    jax.block_until_ready(system.arena)
-    # pre-compile the closure path (verify / PGO / global BA / fusion)
-    # so the first real closure's timing is execution, not compilation
     import jax.numpy as jnp
 
-    system.process(*frames[CHUNK])
-    lp = system._loop
-    key = jax.random.PRNGKey(0)
-    jax.block_until_ready(
-        lp._verify(system.arena, jnp.int32(0), system.last_features, key))
-    jax.block_until_ready(
-        lp._pgo(system.arena, lp.edges, jnp.int32(0))[0].kf_t)
-    a_warm, _ = lp._run_global_ba(system.arena, system.state,
-                                  max(system.n_keyframes - 1, 0))
-    jax.block_until_ready(a_warm.kf_t)
-    system.arena = a_warm  # _run_global_ba donates the arena it was given
-    a2, _ = lp._fuse(system.arena, jnp.int32(0), jnp.int32(0))
-    system.arena = a2
-    gba_warmup_runs = lp.n_global_ba
-    # warmup keyframes polluted the profile/event logs — reset them
-    lp.stage_ms = {k: [] for k in lp.stage_ms}
-    lp.closures = []
-    lp.n_verify_rejects = 0
+    def _one_pass(profile: bool):
+        """One full run.  `profile=False` measures the TRUE per-closure
+        wall time (one block at event end); `profile=True` additionally
+        blocks after every stage for the breakdown — that adds ~25 ms
+        of tunnel round trip PER STAGE, so its event totals must never
+        be quoted as the closure latency."""
+        system = full_slam_pipeline(cfg, ba_mode="sync")
+        system._loop.profile = profile
+        # warmup chunk compiles scan+loop jits
+        system.process_chunk_device(grays[:CHUNK], depths[:CHUNK],
+                                    tss[:CHUNK])
+        jax.block_until_ready(system.arena)
+        # pre-compile the closure path (verify / PGO / global BA /
+        # fusion) so the first real closure's timing is execution, not
+        # compilation
+        system.process(*frames[CHUNK])
+        lp = system._loop
+        key = jax.random.PRNGKey(0)
+        jax.block_until_ready(lp._verify_slots(
+            system.arena, jnp.zeros((cfg.loop.top_k,), jnp.float32),
+            jnp.zeros((cfg.loop.top_k,), jnp.int32),
+            system.last_features, key))
+        jax.block_until_ready(lp._close(
+            system.arena, lp.edges, jnp.int32(0), jnp.int32(0),
+            jnp.asarray([1.0, 0, 0, 0], jnp.float32),
+            jnp.zeros((3,), jnp.float32), jnp.int32(lp._n_edges))[0].kf_t)
+        a_warm, _ = lp._run_global_ba(system.arena, system.state,
+                                      max(system.n_keyframes - 1, 0))
+        jax.block_until_ready(a_warm.kf_t)
+        system.arena = a_warm  # _run_global_ba donates its input arena
+        a2, _ = lp._fuse(system.arena, jnp.int32(0), jnp.int32(0))
+        system.arena = a2
+        # (the warmup _close call above did NOT commit its edge: its
+        # outputs were discarded, so lp.edges still holds only the real
+        # odometry edges)
+        gba_warm = lp.n_global_ba
+        # warmup keyframes polluted the profile/event logs — reset
+        lp.stage_ms = {k: [] for k in lp.stage_ms}
+        lp.closures = []
+        lp.n_verify_rejects = 0
 
-    # instrument closure handling
-    orig = system._loop.on_new_keyframe
-    closure_times = []
+        orig = lp.on_new_keyframe
+        closure_times = []
 
-    def timed_loop(*a, **k):
-        t0 = time.perf_counter()
-        out = orig(*a, **k)
-        jax.block_until_ready(out[0].kf_t)
-        dt = time.perf_counter() - t0
-        if out[2]:
-            closure_times.append(dt)
-        return out
+        def timed_loop(*a, **k):
+            t0 = time.perf_counter()
+            out = orig(*a, **k)
+            jax.block_until_ready(out[0].kf_t)
+            dt = time.perf_counter() - t0
+            if out[2]:
+                closure_times.append(dt)
+            return out
 
-    system._loop.on_new_keyframe = timed_loop
-    for lo in range(CHUNK, len(frames) - (len(frames) % CHUNK), CHUNK):
-        system.process_chunk_device(grays[lo:lo + CHUNK],
-                                    depths[lo:lo + CHUNK], tss[lo:lo + CHUNK])
-    jax.block_until_ready(system.arena)
+        lp.on_new_keyframe = timed_loop
+        for lo in range(CHUNK, len(frames) - (len(frames) % CHUNK),
+                        CHUNK):
+            system.process_chunk_device(
+                grays[lo:lo + CHUNK], depths[lo:lo + CHUNK],
+                tss[lo:lo + CHUNK])
+        jax.block_until_ready(system.arena)
+        return system, closure_times, gba_warm
+
+    # pass 1: unprofiled -> authoritative closure latency
+    system, closure_times, gba_warmup_runs = _one_pass(profile=False)
+    # pass 2: profiled -> per-stage breakdown (inflated totals)
+    system_p, _, _ = _one_pass(profile=True)
 
     out = {
         "n_loop_closures": system.n_loop_closures,
@@ -533,14 +561,29 @@ def bench_loop(_cfg_unused, flagship=False) -> dict:
                      f"obs={cfg.map.max_observations}"),
     }
     if closure_times:
+        import statistics as _st
+
+        # median is the steady-state number: a map growing into a NEW
+        # compaction tier compiles that tier once, and that first event
+        # carries the compile (the persistent cache absorbs it across
+        # runs); mean/max are kept for the worst case
+        out["closure_ms_median"] = round(
+            1e3 * _st.median(closure_times), 1)
         out["closure_ms_mean"] = round(
             1e3 * sum(closure_times) / len(closure_times), 1)
         out["closure_ms_max"] = round(1e3 * max(closure_times), 1)
-    # per-stage breakdown (profiled wall ms; 'bow'/'query' run on every
-    # keyframe, the rest only on closure events)
-    out["stage_ms"] = {
-        k: round(sum(v) / len(v), 1)
-        for k, v in system._loop.stage_ms.items() if v}
+    out["gba_tiers_compiled"] = sorted(system._loop._gba_tiers.keys())
+    # per-stage breakdown from the PROFILED pass (each stage's number
+    # includes its own ~25 ms blocking fetch — sum exceeds the true
+    # closure latency above; 'bow'/'query' run on every keyframe, the
+    # rest only on closure events)
+    import statistics as _st2
+    out["stage_ms_median_profiled"] = {
+        k: round(_st2.median(v), 1)
+        for k, v in system_p._loop.stage_ms.items() if v}
+    out["stage_ms_max_profiled"] = {
+        k: round(max(v), 1)
+        for k, v in system_p._loop.stage_ms.items() if v}
     out["accuracy"] = _score_closures(system, poses,
                                       cfg.loop.min_gap_keyframes)
     print(f"loop bench: {out}", file=sys.stderr)

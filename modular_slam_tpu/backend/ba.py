@@ -679,16 +679,19 @@ def make_global_ba(cfg: SlamConfig) -> Callable:
 
 def global_ba_tier(arena: MapArena) -> Tuple[int, int, int]:
     """Smallest power-of-two (Kt, Lt, Ot) caps covering the LIVE map —
-    three scalar host syncs, done at keyframe rate only."""
+    ONE host sync for all three counters (separate int() reads are three
+    blocking tunnel round trips), done at closure rate only."""
     def up(n, lo, hi):
         t = lo
         while t < min(n, hi):
             t *= 2
         return min(t, hi)
 
-    return (up(int(arena.n_kf), 16, arena.max_keyframes),
-            up(int(arena.n_lm), 1024, arena.max_landmarks),
-            up(int(arena.n_obs), 4096, arena.max_observations))
+    n_kf, n_lm, n_obs = (int(x) for x in jax.device_get(
+        (arena.n_kf, arena.n_lm, arena.n_obs)))
+    return (up(n_kf, 16, arena.max_keyframes),
+            up(n_lm, 1024, arena.max_landmarks),
+            up(n_obs, 4096, arena.max_observations))
 
 
 def make_global_ba_compact(cfg: SlamConfig, tier: Tuple[int, int, int]

@@ -81,8 +81,35 @@ class LoopPipeline:
                 arena, cand, feats, self.cam, cfg, key)
         )
 
-        @partial(jax.jit, static_argnames=())
-        def _pgo(arena: MapArena, edges: PoseGraphEdges, cur_kf):
+        # batched verification: ALL top-k candidates in ONE dispatch —
+        # through a TPU tunnel every host round trip costs ~25 ms, and
+        # the per-candidate verify loop paid one per candidate
+        self._verify_batch = jax.jit(
+            lambda arena, cands, feats, keys: jax.vmap(
+                lambda c, k: geometric_verify(
+                    arena, c, feats, self.cam, cfg, k),
+                in_axes=(0, 0))(cands, keys)
+        )
+
+        # verification of ALL top-k query results in one dispatch, fed
+        # directly from the (separately jitted, test-overridable) query
+        # output — no host fetch in between.  Verification always runs
+        # (~3 ms device work per keyframe, ~0.1 ms/frame amortized at
+        # the keyframe rate): cheaper than a second ~25 ms tunnel round
+        # trip to decide whether to verify.
+        @jax.jit
+        def _verify_slots(arena, scores, slots, feats, key):
+            keys = jax.random.split(key, slots.shape[0])
+            ok, inl, poses = jax.vmap(
+                lambda c, k: geometric_verify(
+                    arena, jnp.maximum(c, 0), feats, self.cam, cfg, k),
+                in_axes=(0, 0))(slots, keys)
+            ok = ok & (slots >= 0) & (scores >= cfg.loop.min_score)
+            return ok, inl, poses
+
+        self._verify_slots = _verify_slots
+
+        def _pgo_impl(arena: MapArena, edges: PoseGraphEdges, cur_kf):
             old_q, old_t = arena.kf_q, arena.kf_t
             # odometry measurements go stale as BA refines poses; refresh
             # them so PGO only distributes the *loop* correction
@@ -102,11 +129,26 @@ class LoopPipeline:
             new_pose = Pose(q=q[cur_kf], t=t[cur_kf])
             return arena, new_pose, cost
 
-        self._pgo = _pgo
+        self._pgo = jax.jit(_pgo_impl)
+
+        # loop-edge insertion + PGO + landmark correction fused into ONE
+        # dispatch (fire-and-forget: the host never reads its outputs
+        # before the next keyframe)
+        @jax.jit
+        def _close(arena: MapArena, edges: PoseGraphEdges, cand, cur_kf,
+                   meas_q, meas_t, edge_idx):
+            p_cand = Pose(q=arena.kf_q[cand], t=arena.kf_t[cand])
+            rel = relative_pose(p_cand, Pose(q=meas_q, t=meas_t))
+            edges = add_edge(edges, edge_idx, cand, cur_kf, rel,
+                             LOOP_EDGE_WEIGHT, is_loop=True)
+            arena, new_pose, _cost = _pgo_impl(arena, edges, cur_kf)
+            return arena, edges, new_pose
+
+        self._close = _close
         self._gba_tiers = {}      # (Kt,Lt,Ot) -> compiled compact global BA
         self.n_global_ba = 0
         self.last_gba_stats = None
-        self.n_fused_landmarks = 0
+        self._fused_acc = jnp.int32(0)   # device accumulator (see below)
 
         from modular_slam_tpu.map.lifecycle import fuse_duplicate_landmarks
 
@@ -134,6 +176,12 @@ class LoopPipeline:
 
         self._remap_db = _remap_db
         self._remap_edges = _remap_edges
+
+    @property
+    def n_fused_landmarks(self) -> int:
+        """Total revisit-duplicate landmarks fused (reads the device
+        accumulator — call at stats/teardown rate, not per keyframe)."""
+        return int(self._fused_acc)
 
     def _build_vocab_jits(self) -> None:
         """(Re)build every jitted closure that bakes in the codebook."""
@@ -196,57 +244,70 @@ class LoopPipeline:
 
         closed = False
         if run_loop_detection:
+            # TWO chained dispatches, ONE host fetch: BoW query over the
+            # database, then geometric verification of every top-k
+            # candidate (vmap) consuming the query output device-side.
+            # The first (highest-scoring) candidate that clears both the
+            # score gate and verification wins — a single aliased top-1
+            # cannot kill a closure candidate 2 would confirm.
             scores, slots = self._query(self.db, hist, jnp.int32(kf_slot))
-            scores_h, slots_h = jax.device_get((scores, slots))
+            key, sub = jax.random.split(key)
+            ok_b, inl_b, poses_b = self._verify_slots(
+                arena, scores, slots, feats, sub)
+            scores_h, slots_h, ok_h, inl_h, t_h = jax.device_get(
+                (scores, slots, ok_b, inl_b, poses_b.t))
             _mark("query", scores_h)
-            # try EVERY top-k candidate above the score gate until one
-            # verifies geometrically — the relocalizer already scans all
-            # candidates (loop/relocalizer.py:50-74); detection previously
-            # gave up after the best-scoring one, so a single aliased
-            # top-1 killed closures candidate 2 would have confirmed
-            for best_score, cand in zip(map(float, scores_h),
-                                        map(int, slots_h)):
-                if best_score < self.cfg.loop.min_score or cand < 0:
-                    continue
-                key, sub = jax.random.split(key)
-                ok, n_inl, meas_pose = self._verify(
-                    arena, jnp.int32(cand), feats, sub)
-                _mark("verify", ok)
-                if not bool(ok):
-                    self.n_verify_rejects += 1
-                if bool(ok):
-                    self.closures.append(
-                        (int(kf_slot), int(cand), int(n_inl),
-                         float(best_score)))
-                    # loop edge cand -> cur with the *measured* relative
-                    # pose from geometric verification
-                    p_cand = Pose(q=arena.kf_q[cand], t=arena.kf_t[cand])
-                    rel = relative_pose(p_cand, meas_pose)
-                    self.edges = add_edge(
-                        self.edges, jnp.int32(self._n_edges),
-                        jnp.int32(cand), jnp.int32(kf_slot), rel,
-                        LOOP_EDGE_WEIGHT, is_loop=True)
-                    self._n_edges += 1
-                    arena, new_pose, _ = self._pgo(
-                        arena, self.edges, jnp.int32(kf_slot))
-                    state = state._replace(pose=new_pose)
-                    _mark("pgo", arena.kf_t)
-                    closed = True
-                    if self.cfg.loop.global_ba_on_loop:
-                        arena, state = self._run_global_ba(
-                            arena, state, kf_slot)
-                        _mark("global_ba", arena.kf_t)
-                    # revisit-duplicate landmarks: merge the current
-                    # keyframe's re-created landmarks into the matched
-                    # keyframe's originals, now that PGO/global BA put
-                    # them in a common frame (the reference never merges
-                    # — PGO moves duplicates but they stay duplicated;
-                    # VERDICT r2 missing #3)
-                    arena, n_fused = self._fuse(
-                        arena, jnp.int32(kf_slot), jnp.int32(cand))
-                    self.n_fused_landmarks += int(n_fused)
-                    _mark("fuse", arena.lm_pos)
+            _mark("verify", ok_h)
+            gated = [i for i, (s, c) in enumerate(
+                zip(map(float, scores_h), map(int, slots_h)))
+                if s >= self.cfg.loop.min_score and c >= 0]
+            pick = None
+            for i in gated:
+                if bool(ok_h[i]):
+                    pick = i
                     break
+                self.n_verify_rejects += 1
+            if pick is not None:
+                cand = int(slots_h[pick])
+                self.closures.append(
+                    (int(kf_slot), cand, int(inl_h[pick]),
+                     float(scores_h[pick]),
+                     # measured query pose from verification — offline
+                     # scoring checks IT against ground truth (closure
+                     # correctness is "did verification recover the
+                     # right pose", not "are the two keyframe centers
+                     # near each other": partial-overlap closures are
+                     # genuine).  Already on host via the batch fetch.
+                     tuple(float(x) for x in t_h[pick])))
+                # ONE dispatch: loop edge (measured relative pose from
+                # verification) + pose-graph optimization + rigid
+                # landmark correction; outputs are never read here
+                # (fire-and-forget — the device works while the host
+                # moves on)
+                arena, self.edges, new_pose = self._close(
+                    arena, self.edges, jnp.int32(cand),
+                    jnp.int32(kf_slot), poses_b.q[pick], poses_b.t[pick],
+                    jnp.int32(self._n_edges))
+                self._n_edges += 1
+                state = state._replace(pose=new_pose)
+                _mark("pgo", arena.kf_t)
+                closed = True
+                if self.cfg.loop.global_ba_on_loop:
+                    arena, state = self._run_global_ba(
+                        arena, state, kf_slot)
+                    _mark("global_ba", arena.kf_t)
+                # revisit-duplicate landmarks: merge the current
+                # keyframe's re-created landmarks into the matched
+                # keyframe's originals, now that PGO/global BA put
+                # them in a common frame (the reference never merges
+                # — PGO moves duplicates but they stay duplicated;
+                # VERDICT r2 missing #3).  The fused count stays a
+                # DEVICE accumulator (reading it here would block on
+                # the whole closure chain).
+                arena, n_fused = self._fuse(
+                    arena, jnp.int32(kf_slot), jnp.int32(cand))
+                self._fused_acc = self._fused_acc + n_fused
+                _mark("fuse", arena.lm_pos)
         return arena, state, closed
 
     def _run_global_ba(
