@@ -61,6 +61,12 @@ def main(argv=None) -> int:
     ap.add_argument("--load-checkpoint", default=None)
     ap.add_argument("--no-prefetch", action="store_true",
                     help="disable the native decode-ahead loader")
+    ap.add_argument("--ba-mode", choices=["sync", "async"], default="sync",
+                    help="local-BA executor mode; 'async' offloads the "
+                         "solve to the host CPU — wins only when "
+                         "device<->host transfers are PCIe-cheap "
+                         "(measured 0.8 f/s through a network tunnel vs "
+                         "287 f/s sync+deferred; BENCH_r04)")
     ap.add_argument("--chunk", type=int, default=1,
                     help="frames per device dispatch (>1 enables the "
                          "chunked scan path: one host sync per chunk)")
@@ -103,6 +109,7 @@ def main(argv=None) -> int:
         # chunked runs get the deferred-pipelined host sync (host
         # bookkeeping of chunk N overlaps chunk N+1 on device) — the
         # benchmark's throughput configuration
+        ba_mode=args.ba_mode,
         defer_chunk_sync=args.chunk > 1)
     if args.load_checkpoint:
         from modular_slam_tpu.utils.checkpoint import load_checkpoint

@@ -108,6 +108,10 @@ def load_checkpoint(path: str, system) -> None:
             if not np.array_equal(saved_vocab,
                                   np.asarray(system._loop._vocab, np.int8)):
                 system._loop.set_vocab(saved_vocab)
+                # the chunked scan bakes the vocab into its in-scan
+                # relocalizer — rebuild it against the restored codebook
+                system._scan = None
+                system._scan_takes_db = False
         system._loop.db = _unflatten(LoopDatabase, "loopdb.", data)
         system._loop.edges = _unflatten(PoseGraphEdges, "edges.", data)
         system._loop._n_edges = int(data["loop.n_edges"])
