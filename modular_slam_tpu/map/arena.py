@@ -187,14 +187,22 @@ def khop_keyframes(arena: MapArena, kf_slot: Array, depth: int) -> Array:
     """[K] bool — keyframes within `depth` covisibility hops of kf_slot
     (inclusive of kf_slot).  Replaces BFS getNeighbourKeyframes
     (basic_map.cpp:209-237); `depth` is static.
-    """
+
+    MATRIX-FREE: one hop is "landmarks seen by the visited set, then
+    keyframes seeing those landmarks" — two [K,L] GEMVs (~8 MFLOP at
+    default capacity) instead of materializing the full inc @ inc.T
+    adjacency (~2.1 GFLOP; it cost 0.4 ms of every tracked frame).
+    Positive sums accumulate in f32, so the > 0 tests are exact."""
     K = arena.max_keyframes
-    adj = (covis_counts(arena) > 0) & arena.kf_valid[None, :] & arena.kf_valid[:, None]
-    adj_f = adj.astype(jnp.float32)
+    inc_f = arena.inc.astype(jnp.bfloat16)
     start = (jnp.arange(K) == kf_slot) & arena.kf_valid
 
     def body(_, visited):
-        return visited | ((adj_f @ visited.astype(jnp.float32)) > 0)
+        lm_hit = jnp.matmul(visited.astype(jnp.bfloat16), inc_f,
+                            preferred_element_type=jnp.float32)   # [L]
+        back = jnp.matmul(inc_f, (lm_hit > 0).astype(jnp.bfloat16),
+                          preferred_element_type=jnp.float32)     # [K]
+        return (visited | (back > 0)) & arena.kf_valid
 
     return lax.fori_loop(0, depth, body, start)
 
