@@ -519,6 +519,26 @@ def bench_loop(_cfg_unused, flagship=False) -> dict:
         # (the warmup _close call above did NOT commit its edge: its
         # outputs were discarded, so lp.edges still holds only the real
         # odometry edges)
+        # precompile the NEXT global-BA compaction tiers the growing map
+        # will reach (2x/4x each dim, capped at capacity), so mid-run
+        # closures measure execution, not tier compilation
+        from modular_slam_tpu.backend.ba import (global_ba_tier,
+                                                 make_global_ba_compact)
+
+        t0_ = global_ba_tier(system.arena)
+        m = cfg.map
+        warm_tiers = {t0_}
+        # landmark/observation counts grow faster than keyframes, so
+        # cover per-dimension growth combinations, not just uniform ones
+        for fk, fl, fo in ((1, 2, 1), (1, 4, 1), (1, 2, 2), (1, 4, 4),
+                           (2, 2, 2), (2, 4, 4), (4, 4, 4)):
+            warm_tiers.add((min(t0_[0] * fk, m.max_keyframes),
+                            min(t0_[1] * fl, m.max_landmarks),
+                            min(t0_[2] * fo, m.max_observations)))
+        for tier in warm_tiers:
+            if tier not in lp._gba_tiers:
+                lp._gba_tiers[tier] = make_global_ba_compact(cfg, tier)
+                lp._gba_tiers[tier].lower(system.arena).compile()
         gba_warm = lp.n_global_ba
         # warmup keyframes polluted the profile/event logs — reset
         lp.stage_ms = {k: [] for k in lp.stage_ms}
