@@ -76,21 +76,6 @@ class LoopPipeline:
 
         self._query = _query
 
-        self._verify = jax.jit(
-            lambda arena, cand, feats, key: geometric_verify(
-                arena, cand, feats, self.cam, cfg, key)
-        )
-
-        # batched verification: ALL top-k candidates in ONE dispatch —
-        # through a TPU tunnel every host round trip costs ~25 ms, and
-        # the per-candidate verify loop paid one per candidate
-        self._verify_batch = jax.jit(
-            lambda arena, cands, feats, keys: jax.vmap(
-                lambda c, k: geometric_verify(
-                    arena, c, feats, self.cam, cfg, k),
-                in_axes=(0, 0))(cands, keys)
-        )
-
         # verification of ALL top-k query results in one dispatch, fed
         # directly from the (separately jitted, test-overridable) query
         # output — no host fetch in between.  Verification always runs
