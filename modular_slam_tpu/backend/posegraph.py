@@ -104,8 +104,20 @@ def optimize_pose_graph(
     edges: PoseGraphEdges,
     iters: int = 20,
     damping: float = 1e-6,
+    cg_iters: int = 32,
 ) -> Tuple[Array, Array, Array]:
-    """-> (kf_q, kf_t, final_cost).  Node 0 is the gauge anchor."""
+    """-> (kf_q, kf_t, final_cost).  Node 0 is the gauge anchor.
+
+    The GN normal system is applied MATRIX-FREE: each H·x is two edge
+    gathers + per-edge 6x6 einsums + two segment-sums back to nodes,
+    solved by block-Jacobi PCG — the earlier dense formulation built a
+    [6K, 6K] Hessian with zipped 2-D block scatter-adds (the
+    pathological TPU scatter path) and ran a dense solve per GN
+    iteration, ~80 ms at K=256."""
+    from jax.ops import segment_sum
+
+    from modular_slam_tpu.backend.cg import pcg
+
     K = kf_q.shape[0]
     free = kf_valid & (jnp.arange(K) != 0)
 
@@ -136,32 +148,39 @@ def optimize_pose_graph(
         wJi = Ji * w[:, None, None]
         wJj = Jj * w[:, None, None]
 
-        # dense normal equations via scatter-add of 6x6 blocks
-        H = jnp.zeros((K, 6, K, 6))
-        b = jnp.zeros((K, 6))
+        b = (segment_sum(-jnp.einsum("eki,ek->ei", wJi, r), edges.i,
+                         num_segments=K)
+             + segment_sum(-jnp.einsum("eki,ek->ei", wJj, r), edges.j,
+                           num_segments=K))
 
-        Hii = jnp.einsum("eki,ekj->eij", wJi, Ji)
-        Hjj = jnp.einsum("eki,ekj->eij", wJj, Jj)
-        Hij = jnp.einsum("eki,ekj->eij", wJi, Jj)
+        def matvec(x_flat):
+            x = x_flat.reshape(K, 6)
+            a = (jnp.einsum("eki,ei->ek", Ji, x[edges.i])
+                 + jnp.einsum("eki,ei->ek", Jj, x[edges.j]))   # [E, 6]
+            y = (segment_sum(jnp.einsum("eki,ek->ei", wJi, a), edges.i,
+                             num_segments=K)
+                 + segment_sum(jnp.einsum("eki,ek->ei", wJj, a),
+                               edges.j, num_segments=K))
+            # damping on free nodes; identity on fixed (keeps H s.p.d.)
+            y = jnp.where(free[:, None], y + damping * x, x)
+            return y.reshape(-1)
 
-        H = H.at[edges.i, :, edges.i, :].add(Hii)
-        H = H.at[edges.j, :, edges.j, :].add(Hjj)
-        H = H.at[edges.i, :, edges.j, :].add(Hij)
-        H = H.at[edges.j, :, edges.i, :].add(
-            jnp.swapaxes(Hij, -1, -2))
+        # block-Jacobi preconditioner from the node-diagonal 6x6 blocks
+        D = (segment_sum(jnp.einsum("eki,ekj->eij", wJi, Ji), edges.i,
+                         num_segments=K)
+             + segment_sum(jnp.einsum("eki,ekj->eij", wJj, Jj), edges.j,
+                           num_segments=K))
+        D = D + (damping + 1e-8) * jnp.eye(6)[None]
+        Dinv = jnp.linalg.inv(D)                               # [K, 6, 6]
 
-        b = b.at[edges.i].add(-jnp.einsum("eki,ek->ei", wJi, r))
-        b = b.at[edges.j].add(-jnp.einsum("eki,ek->ei", wJj, r))
+        def precond(x_flat):
+            x = x_flat.reshape(K, 6)
+            y = jnp.einsum("kij,kj->ki", Dinv, x)
+            return jnp.where(free[:, None], y, x).reshape(-1)
 
-        Hd = H.reshape(K * 6, K * 6)
-        # anchor rows/cols of fixed nodes
-        fixed_mask = jnp.repeat(~free, 6)
-        Hd = jnp.where(fixed_mask[:, None] | fixed_mask[None, :],
-                       0.0, Hd)
-        Hd = Hd + jnp.diag(jnp.where(fixed_mask, 1.0, damping))
-
-        dx = jnp.linalg.solve(Hd, b.reshape(-1)).reshape(K, 6)
-        dx = dx * free[:, None]
+        b = b * free[:, None]
+        dx_flat, _cg_res = pcg(matvec, b.reshape(-1), precond, cg_iters)
+        dx = dx_flat.reshape(K, 6) * free[:, None]
 
         new = pose_retract(Pose(q=q, t=t), dx)
         q_new = quat_normalize(new.q)
