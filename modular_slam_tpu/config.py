@@ -88,6 +88,16 @@ class PnpConfig:
     inlier_threshold_px: float = 5.0
     refine_iters: int = 10
     min_points: int = 4
+    # hybrid depth term (deliberate delta vs cv::solvePnPRansac's
+    # reprojection-only refinement): RGB-D measures depth, and without
+    # it PnP on a planar scene through a narrow FOV can trade
+    # translation-parallel-to-plane for pitch (measured: 0.59 m ATE on
+    # one noisy-depth lap at fx=640 vs 0.04 noise-free).  depth_weight
+    # scales the polish's depth row (disparity units, same convention
+    # as backend/residuals.py rgbd_residuals); depth_inlier_m gates
+    # inliers on |z_pred - z_meas| (0 disables).
+    depth_weight: float = 0.25
+    depth_inlier_m: float = 0.25
 
 
 @dataclasses.dataclass(frozen=True)
@@ -101,6 +111,19 @@ class TrackerConfig:
 
     min_matched_points: int = 10
     new_keyframe_min_inliers: int = 30
+    # periodic keyframe insertion (ORB-SLAM condition C1 analog): insert
+    # after this many frames without one even while inliers stay high —
+    # otherwise a fully-mapped area stops producing keyframes, local BA
+    # never refines the map again, and loop closure starves (round-4
+    # long-run finding: 288-frame 6-lap run produced 7 keyframes, 0
+    # closures, and lap-1 drift baked in forever)
+    max_kf_interval: int = 30
+    # ratio trigger (ORB-SLAM C3 analog): insert when inliers fall below
+    # this fraction of the reference keyframe's observation count — the
+    # absolute floor alone fires only when ~30 edge-clustered matches
+    # remain, baking handoff error into every new keyframe's landmarks
+    # (round-4 finding; see frontend/tracker.py keyframe policy)
+    new_keyframe_inlier_ratio: float = 0.15
     better_keyframe_landmarks: int = 60
     new_landmark_max_depth: float = 3.0
     covis_depth_tracking: int = 2

@@ -128,6 +128,7 @@ def make_slam_scan(cfg: SlamConfig, components=None, with_features=False,
                             jnp.int32),
                         frame_idx=st.frame_idx,
                         lost=jnp.where(ok, jnp.array(False), st.lost),
+                        since_kf=st.since_kf,
                     ), ok
 
                 def skip(st):

@@ -53,6 +53,13 @@ class TrackState(NamedTuple):
     ref_kf: Array       # int32 reference keyframe slot
     frame_idx: Array    # int32 — frames processed
     lost: Array         # bool — tracking currently lost
+    # int32 — frames since the last keyframe insertion.  Drives the
+    # periodic-keyframe rule (TrackerConfig.max_kf_interval): once the
+    # map covers the scene, inlier counts stay high and the inlier rule
+    # alone would never insert again — so no local BA ever refines the
+    # map and no loop closure can fire (no candidates past min_gap).
+    # ORB-SLAM's condition C1 exists for exactly this reason.
+    since_kf: Array = None
 
 
 def initial_state() -> TrackState:
@@ -61,6 +68,7 @@ def initial_state() -> TrackState:
         ref_kf=jnp.int32(0),
         frame_idx=jnp.int32(0),
         lost=jnp.array(False),
+        since_kf=jnp.int32(0),
     )
 
 
@@ -97,7 +105,7 @@ def _bootstrap(
     )
     new_state = TrackState(
         pose=pose, ref_kf=kf_slot, frame_idx=state.frame_idx + 1,
-        lost=jnp.array(False),
+        lost=jnp.array(False), since_kf=jnp.int32(0),
     )
     return arena, new_state, result
 
@@ -146,7 +154,26 @@ def _track(
     n_inliers = jnp.where(ok, pnp.n_inliers, 0)
 
     # --- keyframe policy ---------------------------------------------------
-    need_kf = ok & (n_inliers < tcfg.new_keyframe_min_inliers)
+    # Three triggers, OR-ed:
+    # 1. the reference's absolute floor (inliers < 30,
+    #    rgbd_feature_frontend.cpp:156-162);
+    # 2. RATIO vs the reference keyframe (ORB-SLAM C3 analog): inliers
+    #    below a fraction of the ref keyframe's observation count.
+    #    Waiting for the absolute floor hands off the map with ~30
+    #    badly-conditioned matches clustered at the shrinking overlap's
+    #    edge — measured round 4: each handoff baked ~0.15 m of pose
+    #    error into the new keyframe's landmarks under 2 cm depth noise
+    #    (one 48-frame lap drifted 0.59 m; the ratio trigger inserts
+    #    while the match set is still wide and well-spread);
+    # 3. the periodic rule: >= max_kf_interval frames since the last
+    #    insertion — keeps local BA refining and loop candidates forming
+    #    during long stays inside an already-mapped area.
+    n_ref_obs = jnp.sum(arena.inc[state.ref_kf].astype(jnp.float32))
+    weak_vs_ref = (n_inliers.astype(jnp.float32)
+                   < tcfg.new_keyframe_inlier_ratio * n_ref_obs)
+    overdue = (state.since_kf + 1) >= tcfg.max_kf_interval
+    need_kf = ok & ((n_inliers < tcfg.new_keyframe_min_inliers)
+                    | weak_vs_ref | overdue)
 
     def with_new_keyframe(arena):
         arena, kf_slot = add_keyframe(arena, pose, time)
@@ -201,6 +228,7 @@ def _track(
         ref_kf=ref_kf,
         frame_idx=state.frame_idx + 1,
         lost=~ok,
+        since_kf=jnp.where(need_kf, 0, state.since_kf + 1),
     )
     return arena, new_state, result
 

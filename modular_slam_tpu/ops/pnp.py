@@ -14,10 +14,21 @@ hypotheses in parallel and argmax the inlier count:
   TPU-friendlier than P3P root-solving;
 - hypothesis 0 is the warm-start pose (covers the reference's
   use-initial-guess path);
-- scoring = full reprojection-error inlier count per hypothesis (vmapped);
-- polish = fixed-iteration damped Gauss-Newton on the inlier set over the
-  2D reprojection residual (the reference's solvePnPRansac refines with
-  LM on inliers internally).
+- scoring = full reprojection-error inlier count per hypothesis
+  (vmapped), PLUS a depth-agreement gate |z_pred - z_meas| <
+  depth_inlier_m — RGB-D measures depth, and reprojection alone leaves
+  the planar-scene rotation/translation ambiguity unresolved (a narrow
+  FOV camera translating parallel to a plane reprojects almost
+  identically to one pitching in place; measured round 4: one 96-frame
+  lap at fx=640 with 2 cm depth noise drifted 0.59 m ATE with
+  reproj-only scoring, 0.04 m noise-free);
+- polish = fixed-iteration damped Gauss-Newton on the inlier set over
+  the HYBRID residual: 2D reprojection rows + a depth row
+  w_d * (z_meas - z_pred), w_d = depth_weight * fx / z_meas — the same
+  disparity-scaled hybrid the BA backend uses (backend/residuals.py
+  rgbd_residuals), anchoring the along-ray/rotation null space.  The
+  reference's cv::solvePnPRansac is reprojection-only; this is a
+  deliberate robustness delta (docs/architecture.md).
 
 Everything is static-shape; degenerate samples (collinear / invalid /
 duplicate indices) simply score zero inliers.
@@ -79,21 +90,33 @@ def _align3(cam_pts: Array, world_pts: Array) -> Pose:
 
 def _reproj_errors(
     cam: Camera, pose: Pose, pts_world: Array, uv: Array
-) -> tuple[Array, Array]:
-    """Squared pixel errors [N] + positive-depth mask [N] for a pose."""
+) -> tuple[Array, Array, Array]:
+    """Squared pixel errors [N], positive-depth mask [N], and predicted
+    camera-frame depth [N] for a pose."""
     qi = quat_normalize(pose.q) * jnp.array([1.0, -1.0, -1.0, -1.0])
     pc = quat_rotate(qi, pts_world - pose.t)
     uv_hat = project(cam, pc)
     err2 = jnp.sum((uv_hat - uv) ** 2, axis=-1)
-    return err2, pc[..., 2] > 0.0
+    return err2, pc[..., 2] > 0.0, pc[..., 2]
+
+
+def _inlier_mask(
+    cam: Camera, pose: Pose, pts_world: Array, uv: Array, z_meas: Array,
+    valid: Array, thresh2: float, z_thresh: float,
+) -> Array:
+    err2, front, z_pred = _reproj_errors(cam, pose, pts_world, uv)
+    ok = valid & front & (err2 < thresh2)
+    if z_thresh > 0.0:
+        ok = ok & (jnp.abs(z_pred - z_meas) < z_thresh)
+    return ok
 
 
 def _count_inliers(
-    cam: Camera, pose: Pose, pts_world: Array, uv: Array, valid: Array,
-    thresh2: float,
+    cam: Camera, pose: Pose, pts_world: Array, uv: Array, z_meas: Array,
+    valid: Array, thresh2: float, z_thresh: float,
 ) -> Array:
-    err2, front = _reproj_errors(cam, pose, pts_world, uv)
-    ok = valid & front & (err2 < thresh2)
+    ok = _inlier_mask(cam, pose, pts_world, uv, z_meas, valid, thresh2,
+                      z_thresh)
     return jnp.sum(ok.astype(jnp.int32))
 
 
@@ -102,11 +125,17 @@ def _gauss_newton_polish(
     pose0: Pose,
     pts_world: Array,
     uv: Array,
+    z_meas: Array,
     weights: Array,
     iters: int,
+    depth_weight: float,
 ) -> Pose:
-    """Damped GN on 2D reprojection residuals, left-multiplicative update
-    of the camera-from-world transform T_cw; returns camera-to-world."""
+    """Damped GN on the HYBRID residual (2D reprojection rows + a
+    disparity-scaled depth row, backend/residuals.py convention),
+    left-multiplicative update of the camera-from-world transform T_cw;
+    returns camera-to-world."""
+    # constant w.r.t. the parameters (depends only on the measurement)
+    w_d = depth_weight * cam.fx / jnp.maximum(z_meas, 0.1)
 
     def step(tcw: Pose, _):
         R = quat_to_matrix(tcw.q)
@@ -117,7 +146,9 @@ def _gauss_newton_polish(
         uv_hat = jnp.stack(
             [x * inv_z * cam.fx + cam.cx, y * inv_z * cam.fy + cam.cy], axis=-1
         )
-        r = uv - uv_hat  # [N, 2]
+        r2d = uv - uv_hat  # [N, 2]
+        r = jnp.concatenate(
+            [r2d, (w_d * (z_meas - pc[:, 2]))[:, None]], axis=-1)  # [N, 3]
 
         fxz = cam.fx * inv_z
         fyz = cam.fy * inv_z
@@ -144,7 +175,9 @@ def _gauss_newton_polish(
         Jxi = jnp.concatenate(
             [jnp.broadcast_to(jnp.eye(3), skew.shape), -skew], axis=-1
         )  # [N, 3, 6]
-        J = jnp.einsum("nij,njk->nik", Jp, Jxi)  # [N, 2, 6]
+        J2d = jnp.einsum("nij,njk->nik", Jp, Jxi)  # [N, 2, 6]
+        Jz = w_d[:, None] * Jxi[:, 2, :]           # [N, 6]
+        J = jnp.concatenate([J2d, Jz[:, None, :]], axis=1)  # [N, 3, 6]
 
         w = weights[:, None, None]
         H = jnp.einsum("nik,nil->kl", J * w, J)
@@ -188,9 +221,11 @@ def ransac_pnp(
         t=jnp.concatenate([initial.t[None], hyp.t]),
     )
 
+    z_meas = pts_cam[:, 2]
     counts = jax.vmap(
         lambda q, t: _count_inliers(
-            cam, Pose(q=q, t=t), pts_world, uv, valid, thresh2
+            cam, Pose(q=q, t=t), pts_world, uv, z_meas, valid, thresh2,
+            cfg.depth_inlier_m,
         )
     )(hyp.q, hyp.t)
 
@@ -198,16 +233,17 @@ def ransac_pnp(
     best_pose = Pose(q=hyp.q[best], t=hyp.t[best])
 
     # --- polish on inliers ------------------------------------------------
-    err2, front = _reproj_errors(cam, best_pose, pts_world, uv)
-    inl = valid & front & (err2 < thresh2)
+    inl = _inlier_mask(cam, best_pose, pts_world, uv, z_meas, valid,
+                       thresh2, cfg.depth_inlier_m)
     w = inl.astype(jnp.float32)
     refined = _gauss_newton_polish(
-        cam, best_pose, pts_world, uv, w, cfg.refine_iters
+        cam, best_pose, pts_world, uv, z_meas, w, cfg.refine_iters,
+        cfg.depth_weight,
     )
 
     # final inlier classification at the refined pose
-    err2r, frontr = _reproj_errors(cam, refined, pts_world, uv)
-    inliers = valid & frontr & (err2r < thresh2)
+    inliers = _inlier_mask(cam, refined, pts_world, uv, z_meas, valid,
+                           thresh2, cfg.depth_inlier_m)
     n_inl = jnp.sum(inliers.astype(jnp.int32))
 
     # guard: if refinement somehow degraded below the unrefined best,

@@ -97,6 +97,8 @@ def load_checkpoint(path: str, system) -> None:
         ref_kf=jnp.asarray(data["state.ref_kf"]),
         frame_idx=jnp.asarray(data["state.frame_idx"]),
         lost=jnp.asarray(data["state.lost"]),
+        since_kf=(jnp.asarray(data["state.since_kf"])
+                  if "state.since_kf" in data else jnp.int32(0)),
     )
     system._key = jnp.asarray(data["key"])
     if system._loop is not None and "loopdb.hists" in data:
