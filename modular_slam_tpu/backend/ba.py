@@ -67,6 +67,22 @@ class BAStats(NamedTuple):
     cg_residual: Array
 
 
+def _stall_update(stall: Array, accept: Array, improved: Array) -> Array:
+    """Early-stop stall counter for the LM while_loop.
+
+    A stall is an ACCEPTED step whose cost improvement fell below rtol —
+    i.e. true convergence.  REJECTED steps are lambda adaptation: cost is
+    unchanged but the optimizer is still searching, so they leave the
+    counter untouched (advisor r4 medium: counting rejections used to
+    exit after two initial rejections with near-zero optimization when
+    init_lambda undershot on a large loop correction).  An improving step
+    resets the counter.  `improved` implies `accept` (improvement is a
+    strict cost decrease beyond the accept test's plain decrease).
+    """
+    return jnp.where(improved, 0,
+                     jnp.where(accept, stall + 1, stall))
+
+
 def _huber_cost(r: Array, delta: float, w: Array) -> Array:
     n = jnp.linalg.norm(r, axis=-1)
     rho = jnp.where(n <= delta, 0.5 * n * n, delta * (n - 0.5 * delta))
@@ -228,12 +244,12 @@ def ba_core(
             accept, lam * cfg.lambda_down, lam * cfg.lambda_up
         )
         lam_out = jnp.clip(lam_out, 1e-9, 1e6)
-        return (q_out, t_out, lm_out, lam_out, cost_out), cg_res
+        return (q_out, t_out, lm_out, lam_out, cost_out), (cg_res, accept)
 
     cost0 = cost_of(tcw0.q, tcw0.t, lm_pos)
     init = (tcw0.q, tcw0.t, lm_pos, jnp.float32(cfg.init_lambda), cost0)
     if early_stop_rtol is None:
-        (q_cw, t_cw, lm_out, _, cost_end), cg_hist = lax.scan(
+        (q_cw, t_cw, lm_out, _, cost_end), (cg_hist, _) = lax.scan(
             lm_step, init, None, length=cfg.max_iterations
         )
         cg_last = cg_hist[-1]
@@ -247,9 +263,9 @@ def ba_core(
         def w_body(carry):
             i, stall, state, _cg = carry
             prev_cost = state[4]
-            state, cg_res = lm_step(state, None)
+            state, (cg_res, accept) = lm_step(state, None)
             improved = state[4] < prev_cost * (1.0 - rtol)
-            stall = jnp.where(improved, 0, stall + 1)
+            stall = _stall_update(stall, accept, improved)
             return i + 1, stall, state, cg_res
 
         _, _, (q_cw, t_cw, lm_out, _, cost_end), cg_last = lax.while_loop(

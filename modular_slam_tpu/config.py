@@ -234,6 +234,15 @@ class LoopConfig:
     min_gap_keyframes: int = 20   # don't match temporally adjacent KFs
     min_inliers: int = 25
     pgo_iterations: int = 20
+    # PCG iterations per GN step inside pose-graph optimization.  CG
+    # propagates information ~one graph hop per iteration, so what must
+    # reach graph-wide is pgo_iterations x pgo_cg_iters hops (each GN
+    # step re-linearizes at the partially corrected poses): 20 x 32 =
+    # 640 hops covers a 256-keyframe chain ~2.5x over — verified by
+    # tests/test_loop.py::test_pgo_converges_near_capacity on a
+    # 250-node drifted chain.  Static (scan length) so changing it
+    # recompiles the PGO jit.
+    pgo_cg_iters: int = 32
     # run global BA after a successful pose-graph correction — the
     # reference's intended (but dead) loop-triggered global bundle
     # adjustment (ceres_backend.cpp:130-138, :173-183)

@@ -102,6 +102,7 @@ class LoopPipeline:
             q, t, cost = optimize_pose_graph(
                 arena.kf_q, arena.kf_t, arena.kf_valid, edges,
                 iters=cfg.loop.pgo_iterations,
+                cg_iters=cfg.loop.pgo_cg_iters,
             )
             # anchor = most recent observing keyframe per landmark
             K = arena.max_keyframes

@@ -233,6 +233,17 @@ def fuse_duplicate_landmarks(
 
     okpair = (a_ok[:, None] & b_ok[None, :]
               & (ham <= max_hamming) & (d2 <= max_dist ** 2))
+    # Exclude pairs where a THIRD keyframe observes both the source and
+    # the target: redirecting its source observation would leave that
+    # keyframe with two valid observations of the fused landmark,
+    # breaking the one-observation-per-(kf,lm) invariant that
+    # ba_core_dense's grid scatter relies on (advisor r4 low — the
+    # mutual-best rule alone only makes source->target injective).
+    # kf_a/kf_b themselves never trip this: a landmark seen by both is
+    # already excluded via `both` above.  One [A,K]x[K,B] matmul.
+    inc_f = arena.inc.astype(jnp.float32)                 # [K, L]
+    shared_observer = inc_f[:, a_g].T @ inc_f[:, b_g]     # [A, B]
+    okpair = okpair & (shared_observer == 0)
     score = jnp.where(okpair, ham + 1e-3 * jnp.sqrt(d2), jnp.inf)
     best = jnp.argmin(score, axis=1)                      # [A] -> b row
     # injectivity: a target may be claimed only by its best source

@@ -7,9 +7,21 @@ Note: this environment's site config (axon TPU tunnel) overrides the
 JAX_PLATFORMS env var, so we must force CPU via jax.config.update AFTER
 importing jax but BEFORE any backend initialization.  XLA_FLAGS must be in
 the environment before the CPU client starts (lazy, at first device use).
+
+Persistent compilation cache: OFF by default.  XLA:CPU serializes AOT
+results that embed compile-machine CPU features (jax 0.9 has no config to
+prevent it — ``jax_persistent_cache_enable_xla_caches`` only covers GPU
+auxiliary caches), so a cache produced on one machine loads elsewhere with
+feature-mismatch warnings and potential numeric drift.  A fresh checkout
+must behave identically on every machine, so the default is a cold cache.
+Set ``MSLAM_TEST_CACHE=1`` to opt in for faster local iteration; the cache
+dir is then scoped by a machine fingerprint so a foreign cache can never
+be loaded even if the directory is copied across machines.
 """
 
+import hashlib
 import os
+import platform
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
@@ -22,14 +34,26 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 
-# Persist compiled executables across test runs.
-_CACHE_DIR = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
-jax.config.update("jax_compilation_cache_dir", os.path.abspath(_CACHE_DIR))
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-# don't persist XLA:CPU AOT blobs — they embed compile-machine CPU features
-# and spam feature-mismatch warnings on reload
-jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
+if os.environ.get("MSLAM_TEST_CACHE", "0") == "1":
+    # Machine fingerprint: CPU feature flags + arch.  A cache produced on a
+    # different machine lands in a different directory and is never loaded.
+    try:
+        with open("/proc/cpuinfo") as f:
+            cpu_flags = next(
+                (ln for ln in f if ln.startswith("flags")), platform.machine()
+            )
+    except OSError:
+        cpu_flags = platform.machine()
+    fp = hashlib.sha1(
+        (platform.machine() + ":" + cpu_flags).encode()
+    ).hexdigest()[:12]
+    _CACHE_DIR = os.path.join(
+        os.path.dirname(__file__), "..", ".jax_cache", f"cpu-{fp}"
+    )
+    jax.config.update("jax_compilation_cache_dir", os.path.abspath(_CACHE_DIR))
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
 
 assert jax.default_backend() == "cpu", jax.default_backend()
 assert len(jax.devices()) == 8, jax.devices()

@@ -251,3 +251,45 @@ def test_compact_global_ba_matches_full():
     # and it actually solves the problem
     dt1, dr1 = _pose_errors(comp, gt_poses)
     assert dt1.max() < 2e-3, dt1
+
+
+def test_stall_update_ignores_rejected_steps():
+    """Advisor r4 medium: the early-stop while_loop must not count
+    REJECTED LM steps (lambda adaptation) as convergence stalls — two
+    initial rejections used to exit global BA with near-zero
+    optimization on large loop corrections."""
+    from modular_slam_tpu.backend.ba import _stall_update
+
+    s = jnp.int32(0)
+    t, f = jnp.bool_(True), jnp.bool_(False)
+    # rejected step: counter untouched
+    assert int(_stall_update(s, accept=f, improved=f)) == 0
+    assert int(_stall_update(jnp.int32(1), accept=f, improved=f)) == 1
+    # accepted but sub-rtol improvement: true convergence signal
+    assert int(_stall_update(s, accept=t, improved=f)) == 1
+    assert int(_stall_update(jnp.int32(1), accept=t, improved=f)) == 2
+    # improving step resets
+    assert int(_stall_update(jnp.int32(1), accept=t, improved=t)) == 0
+
+
+def test_ba_early_stop_matches_full_run_from_hard_init():
+    """The early-stop path must reach (near) the same optimum as the
+    fixed-budget scan path even when init_lambda undershoots on a
+    heavily perturbed problem (the advisor's failure scenario class)."""
+    from modular_slam_tpu.backend.ba import ba_core
+    from modular_slam_tpu.backend.residuals import gather_obs
+
+    cam, arena, gt_poses, _ = _build_problem(
+        pose_noise=1.2, lm_noise=1.0, seed=5)
+    bcfg = BackendConfig(max_iterations=25, init_lambda=1e-9,
+                         lambda_up=10.0)
+    obs = gather_obs(cam, arena, arena.obs_valid)
+    K = arena.kf_q.shape[0]
+    pose_free = arena.kf_valid & (jnp.arange(K) != 0)
+    args = (cam, arena.kf_q, arena.kf_t, arena.lm_pos, obs, pose_free,
+            arena.lm_valid, bcfg)
+    _, _, _, s_full = ba_core(*args)
+    _, _, _, s_es = ba_core(*args, early_stop_rtol=1e-3)
+    assert float(s_es.final_cost) <= max(
+        10.0 * float(s_full.final_cost), 1e-8), (
+        float(s_es.final_cost), float(s_full.final_cost))

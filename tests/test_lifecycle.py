@@ -328,3 +328,55 @@ def test_deferred_chunked_compaction_flushes_pending():
     assert late_ok >= 8, late_ok
     # mapping stayed live after the LAST compaction (slots kept recycling)
     assert bool(np.asarray(sys_.arena.kf_valid)[:n_kf].all())
+
+
+def test_fuse_skips_pairs_with_shared_third_observer():
+    """Advisor r4 low: a THIRD keyframe observing both a fuse source and
+    its target would, after redirection, hold two valid observations of
+    the same landmark — breaking the one-observation-per-(kf,lm)
+    invariant.  Such pairs must be excluded from fusion; pairs without a
+    shared third observer must still fuse."""
+    rng = np.random.default_rng(7)
+    K, L, O, D = 8, 64, 256, 32
+    arena = empty_arena(MapConfig(max_keyframes=K, max_landmarks=L,
+                                  max_observations=O, descriptor_bits=D))
+    desc = jnp.asarray(rng.choice([-1, 1], (4, D)), jnp.int8)
+    pos = jnp.asarray(rng.uniform(-1, 1, (4, 3)), jnp.float32)
+
+    # kf_b (target keyframe) observes originals 0..3
+    arena, kf_b = add_keyframe(arena, identity_pose(), jnp.float32(0))
+    arena, s_b = add_landmarks(arena, pos, desc, jnp.ones((4,), bool))
+    arena = add_observations(arena, kf_b, s_b, jnp.zeros((4, 2), jnp.float32),
+                             jnp.ones((4,), jnp.float32), desc,
+                             jnp.ones((4,), bool))
+
+    # kf_a (source keyframe) observes near-duplicates of all 4
+    arena, kf_a = add_keyframe(arena, identity_pose(), jnp.float32(1))
+    arena, s_a = add_landmarks(arena, pos + 0.01, desc,
+                               jnp.ones((4,), bool))
+    arena = add_observations(arena, kf_a, s_a, jnp.zeros((4, 2), jnp.float32),
+                             jnp.ones((4,), jnp.float32), desc,
+                             jnp.ones((4,), bool))
+
+    # third keyframe observes BOTH source dup 0 AND its target original 0
+    arena, kf_c = add_keyframe(arena, identity_pose(), jnp.float32(2))
+    third_slots = jnp.stack([s_a[0], s_b[0]])
+    arena = add_observations(
+        arena, kf_c, third_slots, jnp.zeros((2, 2), jnp.float32),
+        jnp.ones((2,), jnp.float32), desc[jnp.array([0, 0])],
+        jnp.ones((2,), bool))
+
+    fused, n = fuse_duplicate_landmarks(arena, kf_a, kf_b,
+                                        max_dist=0.05, max_hamming=0)
+    # pair 0 skipped (kf_c is a shared observer); pairs 1..3 fused
+    assert int(n) == 3, int(n)
+    lv = np.asarray(fused.lm_valid)
+    assert lv[int(s_a[0])]          # conflicted source survives
+    assert not lv[np.asarray(s_a[1:])].any()
+
+    # invariant holds globally: no (kf, lm) pair appears twice among
+    # valid observations
+    ov = np.asarray(fused.obs_valid)
+    pairs = list(zip(np.asarray(fused.obs_kf)[ov].tolist(),
+                     np.asarray(fused.obs_lm)[ov].tolist()))
+    assert len(pairs) == len(set(pairs)), "duplicate (kf,lm) observation"

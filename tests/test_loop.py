@@ -208,3 +208,65 @@ def test_relocalizer_recovers_pose():
     assert int(slot) == 0
     np.testing.assert_allclose(np.array(pose.t), np.array(true_pose.t),
                                atol=1e-2)
+
+
+def test_pgo_converges_near_capacity():
+    """Advisor r4 low: CG propagates ~one graph hop per iteration, so a
+    256-keyframe chain needs pgo_iterations x pgo_cg_iters hops to
+    distribute a loop correction graph-wide.  This runs the DEFAULT
+    LoopConfig budget (20 GN x 32 CG) on a 250-node drifted loop chain —
+    the worst case the flagship capacity allows — and requires the
+    endpoint error to collapse."""
+    from modular_slam_tpu.config import LoopConfig
+
+    lcfg = LoopConfig()
+    n = 250
+    K = 256
+    rng = np.random.default_rng(3)
+
+    # GT: a circle in the xy plane, translation-only steps
+    ang = np.linspace(0, 2 * np.pi, n, endpoint=False)
+    gt_t = np.stack([2.0 * np.cos(ang), 2.0 * np.sin(ang),
+                     np.zeros(n)], axis=1).astype(np.float32)
+    steps = np.diff(gt_t, axis=0)
+
+    # drifted odometry: small per-step bias accumulates ~0.5 m by the end
+    drift = np.array([0.0015, -0.001, 0.0008], np.float32)
+    est_t = np.concatenate(
+        [np.zeros((1, 3), np.float32) + gt_t[0],
+         gt_t[0] + np.cumsum(steps + drift, axis=0)])
+
+    qI = jnp.array([1.0, 0, 0, 0])
+    kf_q = jnp.tile(qI, (K, 1))
+    kf_t = jnp.asarray(np.concatenate(
+        [est_t, np.zeros((K - n, 3), np.float32)]))
+    kf_valid = jnp.arange(K) < n
+
+    edges = empty_edges(512)
+    slot = 0
+    for k in range(n - 1):
+        rel = relative_pose(Pose(q=qI, t=jnp.asarray(est_t[k])),
+                            Pose(q=qI, t=jnp.asarray(est_t[k + 1])))
+        edges = add_edge(edges, jnp.int32(slot), jnp.int32(k),
+                         jnp.int32(k + 1), rel, 1.0)
+        slot += 1
+    rel_loop = relative_pose(Pose(q=qI, t=jnp.asarray(gt_t[n - 1])),
+                             Pose(q=qI, t=jnp.asarray(gt_t[0])))
+    edges = add_edge(edges, jnp.int32(slot), jnp.int32(n - 1), jnp.int32(0),
+                     rel_loop, 2.0)
+
+    end_err_before = float(np.linalg.norm(est_t[n - 1] - gt_t[n - 1]))
+    assert end_err_before > 0.3  # drift actually accumulated
+
+    q, t, cost = optimize_pose_graph(
+        kf_q, kf_t, kf_valid, edges,
+        iters=lcfg.pgo_iterations, cg_iters=lcfg.pgo_cg_iters)
+
+    t_np = np.asarray(t[:n])
+    end_err_after = float(np.linalg.norm(t_np[n - 1] - gt_t[n - 1]))
+    # the correction must distribute graph-wide, not pile up at the ends:
+    # max per-node error well under the pre-PGO endpoint error
+    max_err = float(np.abs(np.linalg.norm(t_np - gt_t, axis=1)).max())
+    assert end_err_after < 0.2 * end_err_before, (
+        end_err_before, end_err_after)
+    assert max_err < 0.5 * end_err_before, (end_err_before, max_err)

@@ -50,7 +50,7 @@ def main() -> int:
     from modular_slam_tpu.ops.orient import moment_maps
     from modular_slam_tpu.ops.pyramid import build_pyramid, pyramid_shapes
 
-    cfg_all, frames = bench._sequence("plane")
+    cfg_all, frames, _ = bench._sequence("plane")
     cfg = cfg_all.detector
     n0 = 32
     grays0, depths0, _ = bench._stage_frames(frames[3:3 + n0])

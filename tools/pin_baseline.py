@@ -35,8 +35,8 @@ def main() -> int:
         Path(__file__).resolve().parent.parent / "BASELINE_PROXY.json"))
     args = ap.parse_args()
 
-    cfg_p, frames_p = bench._sequence("plane")
-    cfg_b, frames_b = bench._sequence("box")
+    cfg_p, frames_p, _ = bench._sequence("plane")
+    cfg_b, frames_b, _ = bench._sequence("box")
 
     rows = {"tracking_fps": [], "tracking_ba_fps": [], "box_tracking_ba_fps": []}
     for i in range(args.runs):
