@@ -697,17 +697,52 @@ def global_ba_tier(arena: MapArena) -> Tuple[int, int, int]:
     """Smallest power-of-two (Kt, Lt, Ot) caps covering the LIVE map —
     ONE host sync for all three counters (separate int() reads are three
     blocking tunnel round trips), done at closure rate only."""
+    return global_ba_tier_counts(arena)[0]
+
+
+def tier_from_counts(counts: Tuple[int, int, int],
+                     caps: Tuple[int, int, int]) -> Tuple[int, int, int]:
+    """Host-pure tier computation from already-fetched counters (the
+    engine's compaction check fetches them at keyframe rate — reuse
+    avoids extra tunnel round trips)."""
     def up(n, lo, hi):
         t = lo
         while t < min(n, hi):
             t *= 2
         return min(t, hi)
 
+    return (up(counts[0], 16, caps[0]),
+            up(counts[1], 1024, caps[1]),
+            up(counts[2], 4096, caps[2]))
+
+
+def standard_tier_ladder(caps: Tuple[int, int, int]):
+    """The diagonal global-BA tier ladder a growing map walks:
+    (16,1024,4096) doubling every axis until all caps saturate.  Used by
+    mslam-prewarm to compile the WHOLE ladder ahead of any run (VERDICT
+    r4 next #3: the tool used to cover only the first tier)."""
+    K, L, O = caps
+    ladder = []
+    t = (min(16, K), min(1024, L), min(4096, O))
+    while True:
+        ladder.append(t)
+        if t == (K, L, O):
+            break
+        t = (min(2 * t[0], K), min(2 * t[1], L), min(2 * t[2], O))
+    return ladder
+
+
+def global_ba_tier_counts(arena: MapArena
+                          ) -> Tuple[Tuple[int, int, int],
+                                     Tuple[int, int, int]]:
+    """-> (tier, (n_kf, n_lm, n_obs)) with a single host sync — callers
+    that also need the raw counters (successor-tier prediction in
+    loop/pipeline.py) avoid a second tunnel round trip."""
     n_kf, n_lm, n_obs = (int(x) for x in jax.device_get(
         (arena.n_kf, arena.n_lm, arena.n_obs)))
-    return (up(n_kf, 16, arena.max_keyframes),
-            up(n_lm, 1024, arena.max_landmarks),
-            up(n_obs, 4096, arena.max_observations))
+    caps = (arena.max_keyframes, arena.max_landmarks,
+            arena.max_observations)
+    return tier_from_counts((n_kf, n_lm, n_obs), caps), (n_kf, n_lm, n_obs)
 
 
 def make_global_ba_compact(cfg: SlamConfig, tier: Tuple[int, int, int]

@@ -37,10 +37,13 @@ import numpy as np
 
 
 def _run_sequence(cfg, ds, pipeline: str, seed: int,
-                  max_frames: Optional[int]) -> Dict:
+                  max_frames: Optional[int],
+                  disable_loop: bool = False) -> Dict:
     from modular_slam_tpu.models import make_pipeline
 
     system = make_pipeline(pipeline, cfg, seed=seed)
+    if disable_loop:
+        system.enable_loop_closure = False
     t0 = time.perf_counter()
     n = 0
     for i, (rgb, depth, ts) in enumerate(ds.prefetch_iter()):
@@ -57,6 +60,10 @@ def _run_sequence(cfg, ds, pipeline: str, seed: int,
     return {
         "system": system,
         "est": est,
+        # map trajectory AFTER BA/loop corrections — the live per-frame
+        # estimate above cannot retroactively improve when a closure
+        # lands (VERDICT r4 next #2: score both)
+        "kf_est": system.keyframe_trajectory(),
         "frames": n,
         "wall_s": wall,
         "fps": n / wall if wall > 0 else 0.0,
@@ -94,7 +101,8 @@ def evaluate_datasets(dataset_dirs: List[str], out_dir: str,
                       pipeline: str = "slam", seed: int = 0,
                       max_frames: Optional[int] = None,
                       multiseq: bool = False,
-                      compare: Optional[Dict[str, str]] = None) -> Dict:
+                      compare: Optional[Dict[str, str]] = None,
+                      ablate_loop: bool = False) -> Dict:
     from modular_slam_tpu.config import SlamConfig
     from modular_slam_tpu.eval.ate import ate_rmse
     from modular_slam_tpu.eval.report import plot_trajectories, write_ate_csv
@@ -136,6 +144,30 @@ def evaluate_datasets(dataset_dirs: List[str], out_dir: str,
                 seq_report["ate_rmse"] = round(stats["rmse"], 5)
             except ValueError as e:
                 seq_report["ate_error"] = str(e)
+            # corrected keyframe (map) trajectory side-by-side: loop/BA
+            # corrections land here, not in the live per-frame estimate
+            try:
+                kf_stats = ate_rmse(res["kf_est"], ds.groundtruth,
+                                    max_difference=0.05)
+                ate_rows[f"{name}:keyframes"] = kf_stats
+                seq_report["kf_ate_rmse"] = round(kf_stats["rmse"], 5)
+            except ValueError as e:
+                seq_report["kf_ate_error"] = str(e)
+            if ablate_loop and pipeline == "full":
+                # identical run with loop closure disabled — the
+                # artifact then carries the measured value of the
+                # closure machinery on its own sequences
+                res_off = _run_sequence(cfg, ds, pipeline, seed,
+                                        max_frames, disable_loop=True)
+                try:
+                    seq_report["ate_rmse_loop_off"] = round(ate_rmse(
+                        res_off["est"], ds.groundtruth,
+                        max_difference=0.05)["rmse"], 5)
+                    seq_report["kf_ate_rmse_loop_off"] = round(ate_rmse(
+                        res_off["kf_est"], ds.groundtruth,
+                        max_difference=0.05)["rmse"], 5)
+                except ValueError as e:
+                    seq_report["ablate_error"] = str(e)
             # side-by-side third-party trajectories (reference parity:
             # utils/tools/py/evaluate.py:125-235 docker-runs ORB-SLAM3 /
             # stella_vslam; docker+network are unavailable here, so the
@@ -216,6 +248,10 @@ def main(argv=None) -> int:
     ap.add_argument("--max-frames", type=int, default=None)
     ap.add_argument("--multiseq", action="store_true",
                     help="also measure batched multi-sequence scaling")
+    ap.add_argument("--ablate-loop", action="store_true",
+                    help="with --pipeline full: also run each sequence "
+                         "with loop closure disabled and record "
+                         "ate_rmse_loop_off / kf_ate_rmse_loop_off")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--compare", action="append", default=[],
                     metavar="NAME=PATH",
@@ -237,7 +273,7 @@ def main(argv=None) -> int:
     report = evaluate_datasets(
         args.datasets, args.out, pipeline=args.pipeline, seed=args.seed,
         max_frames=args.max_frames, multiseq=args.multiseq,
-        compare=compare or None)
+        compare=compare or None, ablate_loop=args.ablate_loop)
     print(json.dumps(report, default=str))
     return 0
 

@@ -62,13 +62,27 @@ def main() -> int:
         jax.block_until_ready(a.kf_t)
         system.arena, system.state = a, s
 
-    # relocalizer + first global-BA tier
+    # relocalizer + the WHOLE standard global-BA tier ladder (a cold
+    # tier would stall a production closure for its compile; the engine
+    # also background-compiles tiers as the map grows, but prewarming
+    # here puts every standard shape in the persistent cache so even
+    # the background threads return instantly on later runs)
     if system._loop is not None:
         key = jax.random.PRNGKey(0)
         system._loop.relocalize(system.arena, system.state,
                                 system.last_features, key)
-        system._loop._run_global_ba(system.arena, system.state,
-                                    max(system.n_keyframes - 1, 0))
+        from modular_slam_tpu.backend.ba import (
+            make_global_ba_compact, standard_tier_ladder)
+
+        spec = jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), system.arena)
+        caps = (cfg.map.max_keyframes, cfg.map.max_landmarks,
+                cfg.map.max_observations)
+        for tier in standard_tier_ladder(caps):
+            tt = time.perf_counter()
+            make_global_ba_compact(cfg, tier).lower(spec).compile()
+            print(f"gba tier {tier} compiled "
+                  f"({time.perf_counter() - tt:.0f}s)", file=sys.stderr)
     dt = time.perf_counter() - t0
     print(f"prewarm done in {dt:.0f}s — cache ready", file=sys.stderr)
     return 0

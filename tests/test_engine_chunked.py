@@ -73,6 +73,7 @@ def test_chunked_full_pipeline_closes_loops():
 
     system = full_slam_pipeline(cfg)
     system.run(iter(frames), chunk=CHUNK)
+    system.flush_backend()  # completes any deferred global-BA polish
 
     assert system.n_loop_closures >= 1
     assert system._loop.n_global_ba >= 1

@@ -71,7 +71,13 @@ def test_loop_closure_with_small_gap():
     from modular_slam_tpu.config import LoopConfig, TrackerConfig
     cfg = dataclasses.replace(
         _cfg(),
-        loop=LoopConfig(min_gap_keyframes=4, min_score=0.10, min_inliers=25),
+        loop=LoopConfig(min_gap_keyframes=4, min_score=0.10, min_inliers=25,
+                        # clean out-and-back: the revisit stays map-
+                        # connected via tracking, so the covisibility
+                        # gate would (correctly) suppress the closure;
+                        # disable it — this test exercises the closure
+                        # MACHINERY, not the candidate policy
+                        max_covis_overlap=1_000_000),
         tracker=TrackerConfig(new_keyframe_min_inliers=400),  # kf every frame
     )
     gen = PlaneSceneGenerator(cfg.camera, seed=34)
@@ -122,7 +128,13 @@ def test_loop_closure_falls_back_past_corrupted_top1():
     from modular_slam_tpu.config import LoopConfig, TrackerConfig
     cfg = dataclasses.replace(
         _cfg(),
-        loop=LoopConfig(min_gap_keyframes=4, min_score=0.10, min_inliers=25),
+        loop=LoopConfig(min_gap_keyframes=4, min_score=0.10, min_inliers=25,
+                        # clean out-and-back: the revisit stays map-
+                        # connected via tracking, so the covisibility
+                        # gate would (correctly) suppress the closure;
+                        # disable it — this test exercises the closure
+                        # MACHINERY, not the candidate policy
+                        max_covis_overlap=1_000_000),
         tracker=TrackerConfig(new_keyframe_min_inliers=400),  # kf every frame
     )
     # wide texture + 0.5 m steps: the far-end keyframe (2.5 m away)
@@ -141,8 +153,8 @@ def test_loop_closure_falls_back_past_corrupted_top1():
     far_slot = 5
     orig_query = sys_._loop._query
 
-    def poisoned(db, hist, slot):
-        scores, slots = orig_query(db, hist, slot)
+    def poisoned(db, hist, slot, arena):
+        scores, slots = orig_query(db, hist, slot, arena)
         scores = jnp.concatenate([jnp.ones((1,), scores.dtype),
                                   scores[:-1]])
         slots = jnp.concatenate([jnp.asarray([far_slot], slots.dtype),
@@ -268,3 +280,50 @@ def test_transient_loss_no_boundary_reloc():
     assert sys_.n_relocalizations == 0
     gt = poses[8].t
     assert float(jnp.linalg.norm(sys_.state.pose.t - jnp.asarray(gt))) < 0.05
+
+
+def test_cold_tier_gba_defers_then_completes():
+    """VERDICT r4 weak #3: a closure whose global-BA tier is still
+    compiling must NOT stall on the compile — the polish pass defers
+    and runs at a later keyframe / at flush, once the background
+    thread installs the executable."""
+    import dataclasses
+    from modular_slam_tpu.config import LoopConfig, TrackerConfig
+    cfg = dataclasses.replace(
+        _cfg(),
+        loop=LoopConfig(min_gap_keyframes=4, min_score=0.10,
+                        min_inliers=25, max_covis_overlap=1_000_000,
+                        global_ba_on_loop=True),
+        tracker=TrackerConfig(new_keyframe_min_inliers=400),
+    )
+    gen = PlaneSceneGenerator(cfg.camera, seed=34)
+    out = gen.trajectory(6, step_t=(0.25, 0.0, 0.0))
+    poses = out + out[::-1][1:]
+    frames = list(gen.sequence(poses))
+
+    sys_ = SlamSystem(cfg, enable_backend=False, enable_loop_closure=True)
+    lp = sys_._loop
+    # simulate a cold cache with compiles never finishing: swallow every
+    # background compile request so no tier is ever installed (join the
+    # startup prewarm thread first — it would re-install after clear)
+    requested = []
+    for t in lp._gba_threads.values():
+        t.join()
+    lp._gba_tiers.clear()
+    lp._compile_tier_async = lambda tier, arena: requested.append(tier)
+
+    for f in frames:
+        sys_.process(*f)
+    assert sys_.n_loop_closures >= 1
+    # the closure went through (PGO ran) but the GBA polish deferred
+    # instead of stalling on a compile
+    assert lp.n_global_ba == 0
+    assert lp.n_gba_deferred >= 1
+    assert lp._gba_pending
+    assert requested, "background compile was never requested"
+
+    # restore the real compiler; flush waits for it and runs the polish
+    del lp._compile_tier_async
+    sys_.flush_backend()
+    assert lp.n_global_ba == 1
+    assert not lp._gba_pending

@@ -270,3 +270,52 @@ def test_pgo_converges_near_capacity():
     assert end_err_after < 0.2 * end_err_before, (
         end_err_before, end_err_after)
     assert max_err < 0.5 * end_err_before, (end_err_before, max_err)
+
+
+def test_query_adaptive_gap_scales_with_live_map():
+    """VERDICT r4 weak #2: a fixed min_gap=20 exceeded the keyframe
+    count of every short sequence, so the default config never closed a
+    loop.  With gap_fraction the gate adapts: an 8-keyframe map uses
+    clip(round(0.3*8), 3, 20) = 3, so a revisit 4 slots back IS a
+    candidate; a large map still clamps at the cap."""
+    db = empty_database(64, 64)
+    vocab = make_vocab(64)
+    valid = jnp.ones(10, bool)
+    hists = []
+    for k in range(8):
+        h = bow_histogram(_rand_desc(10, seed=k), valid, vocab)
+        db = add_keyframe_bow(db, jnp.int32(k), h)
+        hists.append(h)
+
+    scores, slots = query_candidates(
+        db, hists[7], jnp.int32(7), min_gap=20, top_k=5,
+        gap_floor=3, gap_fraction=0.3)
+    live = np.array(slots)[np.array(scores) > -1].tolist()
+    # gap = 3: slots 5,6,7 excluded; 0..4 allowed
+    assert set(live) <= {0, 1, 2, 3, 4}
+    assert len(live) > 0
+
+    # without the adaptive gap the same query has NO candidates
+    scores0, _ = query_candidates(
+        db, hists[7], jnp.int32(7), min_gap=20, top_k=5)
+    assert (np.array(scores0) <= -1).all()
+
+
+def test_query_covis_overlap_excludes_connected():
+    """Candidates sharing more than max_covis landmarks with the query
+    are map-connected (tracking continuity) — excluded even when their
+    BoW score is top-ranked."""
+    db = empty_database(16, 64)
+    vocab = make_vocab(64)
+    valid = jnp.ones(10, bool)
+    h = bow_histogram(_rand_desc(10, seed=0), valid, vocab)
+    for k in range(8):
+        db = add_keyframe_bow(db, jnp.int32(k), h)  # identical hists
+
+    covis = jnp.zeros(16, jnp.int32).at[1].set(30).at[2].set(5)
+    scores, slots = query_candidates(
+        db, h, jnp.int32(7), min_gap=3, top_k=8,
+        covis_counts=covis, max_covis=15)
+    live = np.array(slots)[np.array(scores) > -1].tolist()
+    assert 1 not in live       # 30 shared > 15 -> excluded
+    assert 2 in live           # 5 shared <= 15 -> kept

@@ -71,6 +71,8 @@ def _run(cfg, frames, enable_loop: bool):
     system.enable_loop_closure = enable_loop
     for rgb, depth, ts in frames:
         system.process(rgb, depth, ts)
+    # completes any deferred global-BA polish (background tier compile)
+    system.flush_backend()
     return system
 
 
