@@ -248,6 +248,15 @@ class LoopConfig:
     # ORB-SLAM covisibility-graph connection threshold.
     max_covis_overlap: int = 15
     min_inliers: int = 25
+    # After an ACCEPTED closure, skip loop detection for this many
+    # subsequent keyframes: the correction + landmark fusion need a few
+    # keyframes to settle before re-detection is meaningful (without
+    # it, deferred-pipelined runs cascade — every keyframe created
+    # while the first correction was in flight re-fires a closure on
+    # the same revisit, measured 12 closures / 786 fused landmarks on a
+    # two-lap scene where one closure suffices).  ORB-SLAM's loop
+    # closer applies the same consecutive-closure guard.
+    closure_cooldown_keyframes: int = 3
     pgo_iterations: int = 20
     # PCG iterations per GN step inside pose-graph optimization.  CG
     # propagates information ~one graph hop per iteration, so what must

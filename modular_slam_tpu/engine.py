@@ -234,6 +234,9 @@ class SlamSystem:
         # _maybe_compact)
         self._chunk_growth = (0, 0, 0)
         self._prev_counters = None
+        # post-closure global-BA polish boundaries remaining (deferred
+        # chunking only — see _process_chunk_core closure resolution)
+        self._polish_burst = 0
         # --- loop closure / relocalization machinery ---------------------
         self.enable_loop_closure = enable_loop_closure
         self.enable_relocalization = enable_relocalization
@@ -375,6 +378,11 @@ class SlamSystem:
         checkpointing / before reading the map out)."""
         self._flush_pending_chunk()
         self._harvest_ba()
+        if self._loop is not None and self._loop.has_pending_closure:
+            self.arena, self.state, closed = self._loop.resolve_pending(
+                self.arena, self.state)
+            if closed:
+                self.n_loop_closures += 1
         if self._loop is not None and self._loop._gba_pending:
             kf = self._loop._prev_kf
             if kf is not None:
@@ -432,8 +440,15 @@ class SlamSystem:
             if (n_kf < m.highwater * K and n_lm < m.highwater * L
                     and n_obs < m.highwater * O):
                 return False
-        # compaction MOVES slots: no in-flight async BA window may survive
+        # compaction MOVES slots: no in-flight async BA window or
+        # deferred closure verification may survive (its slot indices
+        # would go stale under the remap)
         self._harvest_ba()
+        if self._loop is not None and self._loop.has_pending_closure:
+            self.arena, self.state, closed = self._loop.resolve_pending(
+                self.arena, self.state)
+            if closed:
+                self.n_loop_closures += 1
         if self._maint_fn is None:
             from modular_slam_tpu.map.lifecycle import (
                 compact_arena, cull_landmarks, evict_keyframes)
@@ -514,6 +529,34 @@ class SlamSystem:
         # the offload device while that chunk tracked) before this chunk's
         # scan consumes the arena
         self._harvest_ba()
+        # resolve deferred closure verifications NOW, before dispatching
+        # the next scan: the fetch reads buffers the device materialized
+        # while the last chunk tracked (no stall), and the PGO/GBA/fuse
+        # correction chain queues AHEAD of the scan — this chunk tracks
+        # against the corrected map (overlapped closure handling,
+        # VERDICT r4 next #5)
+        if self._loop is not None:
+            if self._loop.has_pending_closure:
+                self.arena, self.state, closed = self._loop.resolve_pending(
+                    self.arena, self.state, self._prev_counters)
+                if closed:
+                    self.n_loop_closures += 1
+                    # deferred corrections land a chunk late: several
+                    # keyframes baked drifted poses before the closure
+                    # could fix them.  Schedule a short global-BA polish
+                    # BURST over the following boundaries to grind that
+                    # error out (the sync path gets the equivalent
+                    # refinement from its blocking per-keyframe order).
+                    if self.cfg.loop.global_ba_on_loop:
+                        self._polish_burst = 3
+            if (self._polish_burst > 0 or self._loop._gba_pending) \
+                    and self._loop._prev_kf is not None:
+                if self._polish_burst > 0:
+                    self._polish_burst -= 1
+                    self._loop._gba_pending = True
+                self.arena, self.state = self._loop.maybe_run_pending_gba(
+                    self.arena, self.state, self._loop._prev_kf,
+                    counters=self._prev_counters)
         if self._scan_takes_db:
             self.arena, self.state, out = self._scan(
                 self.arena, self.state, self._loop.db, grays, deps, times,
@@ -615,6 +658,11 @@ class SlamSystem:
                 self.arena, self.state, closed = self._loop.on_new_keyframe(
                     self.arena, self.state, kf_slot, feats_i, sub,
                     run_loop_detection=self.enable_loop_closure,
+                    # pipelined chunking: park the verification futures
+                    # instead of blocking on the in-flight chunk's scan
+                    # (overlapped closure handling, VERDICT r4 next #5)
+                    defer_closure=self.defer_chunk_sync,
+                    counters=counters_h,
                 )
                 if closed:
                     self.n_loop_closures += 1
@@ -623,6 +671,9 @@ class SlamSystem:
                 if self._kf_since_ba >= self.ba_every:
                     self._run_local_ba(kf_slot)
                     self._kf_since_ba = 0
+        # (deferred verifications enqueued above resolve at the NEXT
+        # chunk's entry — resolving here would stall on the in-flight
+        # scan that was dispatched before this bookkeeping ran)
 
         # ---- relocalization at the chunk boundary -------------------------
         # fallback for when the in-scan device-side attempt failed on
