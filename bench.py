@@ -531,7 +531,8 @@ def bench_loop(_cfg_unused, flagship=False) -> dict:
         jax.block_until_ready(lp._close(
             system.arena, lp.edges, jnp.int32(0), jnp.int32(0),
             jnp.asarray([1.0, 0, 0, 0], jnp.float32),
-            jnp.zeros((3,), jnp.float32), jnp.int32(lp._n_edges))[0].kf_t)
+            jnp.zeros((3,), jnp.float32), jnp.int32(lp._n_edges),
+            system.state.pose.q, system.state.pose.t)[0].kf_t)
         a_warm, _ = lp._run_global_ba(system.arena, system.state,
                                       max(system.n_keyframes - 1, 0))
         jax.block_until_ready(a_warm.kf_t)
@@ -634,6 +635,40 @@ def bench_loop(_cfg_unused, flagship=False) -> dict:
     # cap: a fixed cap of 32 exceeded the flagship run's keyframe count,
     # so the scorer saw zero revisit opportunities and recall was null
     # (VERDICT r4 weak #7)
+    # --- OVERLAPPED closure handling (VERDICT r4 next #5): deferred-
+    # pipelined mode parks verification futures and resolves them at the
+    # next chunk entry, so closure handling must cost far less than the
+    # synchronous latency above.  Measured as the wall-time delta of the
+    # whole pipelined run with closures on vs off, per closure.
+    def _deferred_wall(enable_loop: bool):
+        sysd = full_slam_pipeline(cfg, ba_mode="sync",
+                                  defer_chunk_sync=True)
+        sysd.enable_loop_closure = enable_loop
+        # warm the scan/closure jits (persistent + in-process cache from
+        # the passes above covers most; one chunk settles the rest)
+        sysd.process_chunk_device(grays[:CHUNK], depths[:CHUNK],
+                                  tss[:CHUNK])
+        jax.block_until_ready(sysd.arena.kf_t)
+        t0 = time.perf_counter()
+        for lo in range(CHUNK, len(frames) - (len(frames) % CHUNK),
+                        CHUNK):
+            sysd.process_chunk_device(
+                grays[lo:lo + CHUNK], depths[lo:lo + CHUNK],
+                tss[lo:lo + CHUNK])
+        sysd.flush_backend()
+        jax.block_until_ready(sysd.arena.kf_t)
+        return time.perf_counter() - t0, sysd.n_loop_closures
+
+    w_on, n_cl = _deferred_wall(True)
+    w_off, _ = _deferred_wall(False)
+    out["deferred_overlap"] = {
+        "wall_s_loop_on": round(w_on, 3),
+        "wall_s_loop_off": round(w_off, 3),
+        "closures": n_cl,
+        "added_ms_per_closure": round(
+            1e3 * max(w_on - w_off, 0.0) / max(n_cl, 1), 1),
+    }
+
     n_live = int(np.asarray(system.arena.kf_valid).sum())
     eff_gap = int(np.clip(round(cfg.loop.min_gap_fraction * n_live),
                           cfg.loop.min_gap_floor,
@@ -1007,6 +1042,8 @@ def main() -> int:
         "classical_proxy_ate_m": accuracy.get("classical_proxy_ate_rmse_m"),
         "closure_ms_median": loop_stats.get("closure_ms_median"),
         "closure_ms_max": loop_stats.get("closure_ms_max"),
+        "closure_overlap_added_ms": loop_stats.get(
+            "deferred_overlap", {}).get("added_ms_per_closure"),
         "closure_recall": _acc(loop_stats, "recall"),
         "closure_fp": _acc(loop_stats, "false_positives"),
         "flagship_closure_ms_median":

@@ -45,6 +45,10 @@ LOOP_EDGE_WEIGHT = 2.0
 
 
 class LoopPipeline:
+    # serializes background tier builds PROCESS-WIDE (several-minute
+    # compiles stacking up through a remote-compile tunnel time out)
+    _build_serial = _threading.Lock()
+
     def __init__(self, cfg: SlamConfig, profile: bool = False):
         self.cfg = cfg
         # per-stage closure-handling wall ms (bench_loop breakdown,
@@ -437,7 +441,14 @@ class LoopPipeline:
         tier never stalls the closure path (VERDICT r4 weak #3: first
         runs froze up to ~86 s while 9 tiers compiled mid-sequence).
         The compiled executable is installed into `_gba_tiers` when
-        ready; until then closures defer their polish pass."""
+        ready; until then closures defer their polish pass.
+
+        Robustness: tier builds run ONE AT A TIME (a class-level lock
+        serializes them — several-minute compiles stacking up through a
+        remote-compile tunnel can time the server out), and a transient
+        failure is retried once before giving up; a tier that never
+        compiles simply keeps the polish deferred (flush retries
+        synchronously)."""
         from modular_slam_tpu.backend.ba import make_global_ba_compact
 
         with self._gba_lock:
@@ -449,10 +460,20 @@ class LoopPipeline:
 
         def build():
             try:
-                fn = make_global_ba_compact(self.cfg, tier)
-                compiled = fn.lower(spec).compile()
-                with self._gba_lock:
-                    self._gba_tiers[tier] = compiled
+                for attempt in (0, 1):
+                    try:
+                        with LoopPipeline._build_serial:
+                            fn = make_global_ba_compact(self.cfg, tier)
+                            compiled = fn.lower(spec).compile()
+                        with self._gba_lock:
+                            self._gba_tiers[tier] = compiled
+                        return
+                    except Exception:  # transient tunnel/compile error
+                        if attempt == 1:
+                            raise
+                        import time as _t
+
+                        _t.sleep(2.0)
             finally:
                 with self._gba_lock:
                     self._gba_compiling.discard(tier)

@@ -19,6 +19,35 @@ def gaussian_kernel_1d(ksize: int, sigma: float) -> np.ndarray:
     return (k / k.sum()).astype(np.float32)
 
 
+def blur_patches(patches: Array, ksize: int = 7,
+                 sigma: float = 2.0) -> Array:
+    """Valid-region separable Gaussian blur of patch stacks:
+    [N, P, P] -> [N, P-2r, P-2r] (r = ksize//2).
+
+    The patch-centric detector path extracts (BRIEF_PATCH + 2r)-wide
+    raw patches once and blurs them here with two small banded matmuls
+    — the dense per-level pyramid blur computed ~1 M blurred pixels per
+    frame to sample 512 keypoints' patches (round-5 roofline note).
+    Taps are identical to `gaussian_blur`; run at Precision.HIGHEST so
+    the uint8-rounded BRIEF inputs match the dense path bit-for-bit up
+    to f32 summation order."""
+    import jax
+
+    k = gaussian_kernel_1d(ksize, sigma)
+    r = ksize // 2
+    P = patches.shape[-1]
+    Q = P - 2 * r
+    # banded [P, Q]: out[j] = sum_t k[t] * in[j + t]
+    B = np.zeros((P, Q), np.float32)
+    for j in range(Q):
+        B[j:j + ksize, j] = k
+    Bj = jnp.asarray(B)
+    hp = jnp.einsum("nyi,ij->nyj", patches, Bj,
+                    precision=jax.lax.Precision.HIGHEST)   # [N, P, Q]
+    return jnp.einsum("niw,ij->njw", hp, Bj,
+                      precision=jax.lax.Precision.HIGHEST)  # [N, Q, Q]
+
+
 def gaussian_blur(img: Array, ksize: int = 7, sigma: float = 2.0) -> Array:
     """[H, W] float32 -> blurred [H, W]; reflect-101 borders like OpenCV.
 

@@ -124,28 +124,30 @@ def _bin_selector_np(n_bins: int) -> np.ndarray:
 
 
 def extract_patches_matmul(
-    blur_atlas: Array,   # [n_levels, H, W] padded blurred pyramid
+    blur_atlas: Array,   # [n_levels, H, W] padded pyramid atlas
     level: Array,        # [N] int32
-    yx: Array,           # [N, 2] int32 level coords
+    yx: Array,           # [N, 2] int32 level coords (atlas frame)
+    patch: int = BRIEF_PATCH,
 ) -> Array:
-    """[N, patch^2] flattened 37x37 patches, via ONE contiguous row
-    gather (take along the row axis — DMA-efficient, unlike element
-    gathers) + a one-hot column-window matmul on the MXU.  Exact: the
-    one-hot contraction runs at Precision.HIGHEST, so every output is a
+    """[N, patch^2] flattened patches, via ONE contiguous row gather
+    (take along the row axis — DMA-efficient, unlike element gathers) +
+    a one-hot column-window matmul on the MXU.  Exact: the one-hot
+    contraction runs at Precision.HIGHEST, so every output is a
     bit-exact copy of the source pixel."""
     nlev, H, W = blur_atlas.shape
     N = yx.shape[0]
+    r = patch // 2
     A2 = blur_atlas.reshape(nlev * H, W)
-    d = jnp.arange(-_R, _R + 1)
-    rows_idx = (level * H + yx[:, 0])[:, None] + d[None, :]       # [N, 37]
+    d = jnp.arange(-r, r + 1)
+    rows_idx = (level * H + yx[:, 0])[:, None] + d[None, :]       # [N, p]
     rows = jnp.take(A2, rows_idx.reshape(-1), axis=0)
-    rows = rows.reshape(N, BRIEF_PATCH, W)
-    cols = yx[:, 1][:, None] + d[None, :]                          # [N, 37]
+    rows = rows.reshape(N, patch, W)
+    cols = yx[:, 1][:, None] + d[None, :]                          # [N, p]
     Csel = (jnp.arange(W)[None, :, None] == cols[:, None, :])
     patches = jnp.einsum(
         "krw,kwc->krc", rows, Csel.astype(rows.dtype),
         precision=jax.lax.Precision.HIGHEST)
-    return patches.reshape(N, BRIEF_PATCH * BRIEF_PATCH)
+    return patches.reshape(N, patch * patch)
 
 
 @lru_cache(maxsize=None)
@@ -177,12 +179,25 @@ def brief_matmul(
     `brief_from_atlas` on the rounded atlas whenever the angle lies on
     a bin center; elsewhere it IS the ORB-paper semantics (steered
     BRIEF from a discrete-rotation lookup table)."""
-    N = yx.shape[0]
+    pf = extract_patches_matmul(blur_atlas, level, yx)             # [N, P2]
+    return brief_matmul_from_patches(pf, angles, n_bins)
+
+
+def brief_matmul_from_patches(
+    patches_flat: Array,  # [N, BRIEF_PATCH^2] float32 blurred patches
+    angles: Array,        # [N] float32 radians
+    n_bins: int = N_ANGLE_BINS,
+) -> Array:
+    """The angle-binned int8 MXU sampling stage of `brief_matmul`, fed
+    directly with pre-extracted blurred patches (the patch-centric
+    detector path blurs per-keypoint patches instead of the dense
+    pyramid — same quantize-then-compare semantics)."""
+    N = patches_flat.shape[0]
     tau = 2.0 * np.pi
     b = jnp.round(angles / (tau / n_bins)).astype(jnp.int32) % n_bins
 
-    pf = extract_patches_matmul(blur_atlas, level, yx)             # [N, P2]
-    pq = (jnp.clip(jnp.round(pf), 0.0, 255.0) - 128.0).astype(jnp.int8)
+    pq = (jnp.clip(jnp.round(patches_flat), 0.0, 255.0)
+          - 128.0).astype(jnp.int8)
 
     S8 = jnp.asarray(_bin_selector_i8_flat(n_bins))          # [P2, B*512]
     v = jax.lax.dot_general(

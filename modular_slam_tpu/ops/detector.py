@@ -34,11 +34,12 @@ import jax
 import jax.numpy as jnp
 
 from modular_slam_tpu.config import DetectorConfig
-from modular_slam_tpu.ops.blur import gaussian_blur
-from modular_slam_tpu.ops.brief import brief_matmul
+from modular_slam_tpu.ops.blur import blur_patches
+from modular_slam_tpu.ops.brief import (BRIEF_PATCH, brief_matmul_from_patches,
+                                        extract_patches_matmul)
 from modular_slam_tpu.ops.fast import nms3x3, border_mask
 from modular_slam_tpu.ops.fast_pallas import fast_score_fastest
-from modular_slam_tpu.ops.orient import moment_maps
+from modular_slam_tpu.ops.orient import ic_angle_from_patches
 from modular_slam_tpu.ops.pyramid import build_pyramid
 from modular_slam_tpu.types import (
     Descriptors,
@@ -140,35 +141,35 @@ def _detect_impl(gray: Array, depth: Array, cfg: DetectorConfig, cut: str):
     if cut == "select":
         return yx_sel, lvl_sel, sel_resp
 
-    # --- dense per-level post-score products ------------------------------
-    blur_atlas = [
-        _pad_to(gaussian_blur(img, cfg.blur_ksize, cfg.blur_sigma), H0, W0)
-        for img in levels]
-    moment_atlas = []
-    for img in levels:
-        mm = moment_maps(img)                       # [2, h, w] channels-first
-        moment_atlas.append(jnp.pad(
-            mm, ((0, 0), (0, H0 - mm.shape[1]), (0, W0 - mm.shape[2]))))
-    atlas = jnp.stack(blur_atlas)              # [nlev, H0, W0]
-    moments = jnp.stack(moment_atlas, axis=1)  # [2, nlev, H0, W0]
+    # --- patch-centric post-score path (round 5) --------------------------
+    # The dense per-level blur + moment-map pyramids computed ~1M pixels
+    # of products per frame to read 512 keypoints' worth (roofline note,
+    # docs/architecture.md): instead extract ONE raw patch per keypoint
+    # (BRIEF 37 + blur halo 2*3 = 43 wide) and compute orientation,
+    # blur, and descriptors in the patch domain — all small MXU/VPU ops.
+    # Each level is reflect-padded by the blur radius first, so border
+    # keypoints see the same reflect-101 halo the dense blur used.
+    br = cfg.blur_ksize // 2
+    atlas_raw = jnp.stack([
+        _pad_to(jnp.pad(img, br, mode="reflect"), H0 + 2 * br, W0 + 2 * br)
+        for img in levels])                        # [nlev, H0+6, W0+6]
     if cut == "atlas":
-        return yx_sel, lvl_sel, sel_resp, atlas, moments
+        return yx_sel, lvl_sel, sel_resp, atlas_raw
 
-    # --- orientation from dense moment maps ------------------------------
-    # NB: flat 1-D takes only — multi-array advanced indexing lowers to a
-    # pathological gather on TPU (~ms per call); flat takes are ~us.
-    flat_pos = (lvl_sel * H0 + yx_sel[:, 0]) * W0 + yx_sel[:, 1]
-    m_flat = moments.reshape(2, -1)
-    m10 = jnp.take(m_flat[0], flat_pos)
-    m01 = jnp.take(m_flat[1], flat_pos)
-    angles = jnp.arctan2(m01, m10)
+    P = BRIEF_PATCH + 2 * br                       # 43
+    patches = extract_patches_matmul(
+        atlas_raw, lvl_sel, yx_sel + br, patch=P)  # [N, P*P]
+    p2d = patches.reshape(-1, P, P)
+
+    # --- orientation: circular moments of the UNBLURRED central 31x31 ----
+    angles = ic_angle_from_patches(p2d)
     if cut == "orient":
         return yx_sel, lvl_sel, sel_resp, angles
 
-    # --- descriptors from the blurred atlas: MXU sampling (grouped
-    # matmuls over 32 angle bins — ops/brief.py brief_matmul; the
-    # random-gather formulation measured 1.9 ms/frame on a v5e) --------
-    bits = brief_matmul(atlas, lvl_sel, yx_sel, angles)
+    # --- blur in the patch domain + binned int8 MXU BRIEF sampling --------
+    bp = blur_patches(p2d, cfg.blur_ksize, cfg.blur_sigma)  # [N, 37, 37]
+    bits = brief_matmul_from_patches(
+        bp.reshape(bp.shape[0], -1), angles)
     if cut == "brief":
         return yx_sel, lvl_sel, sel_resp, angles, bits
 

@@ -69,6 +69,28 @@ def ic_angle(img: Array, yx: Array, radius: int = IC_RADIUS) -> Array:
     return jnp.arctan2(m01, m10)
 
 
+def ic_angle_from_patches(patches: Array,
+                          radius: int = IC_RADIUS) -> Array:
+    """IC orientation [N] from pre-extracted patches [N, P, P] (P odd,
+    P >= 2*radius+1, keypoint at the center).  The patch-centric
+    detector path computes moments ONLY at the selected keypoints —
+    the dense `moment_maps` pyramid pass computed ~1 M pixels of
+    moments per frame to read 512 of them (round-5 roofline note).
+    Same arithmetic as the dense maps: masked circular-window first
+    moments of the UNBLURRED image."""
+    P = patches.shape[-1]
+    c = P // 2
+    crop = patches[:, c - radius:c + radius + 1, c - radius:c + radius + 1]
+    mask = _mask(radius)
+    coords = jnp.arange(-radius, radius + 1, dtype=patches.dtype)
+    w = crop * mask
+    # elementwise multiply + reduce on the VPU (f32-exact; no MXU
+    # precision concerns)
+    m10 = jnp.sum(w * coords[None, None, :], axis=(1, 2))
+    m01 = jnp.sum(w * coords[None, :, None], axis=(1, 2))
+    return jnp.arctan2(m01, m10)
+
+
 def moment_maps(img: Array, radius: int = IC_RADIUS) -> Array:
     """Dense IC moment maps, channels-FIRST [2, H, W] = (m10, m01).
 
