@@ -644,13 +644,32 @@ def bench_loop(_cfg_unused, flagship=False) -> dict:
         sysd = full_slam_pipeline(cfg, ba_mode="sync",
                                   defer_chunk_sync=True)
         sysd.enable_loop_closure = enable_loop
-        # warm the scan/closure jits (persistent + in-process cache from
-        # the passes above covers most; one chunk settles the rest)
+        lpd = sysd._loop
+        # per-instance jitted closures re-trace for every fresh
+        # pipeline; share the already-compiled GBA tier executables and
+        # warm the closure-chain jits BEFORE the timed region, exactly
+        # like _one_pass — otherwise the "overlap" number times jit
+        # loading, not closure handling
+        lpd._gba_tiers.update(lp._gba_tiers)
         sysd.process_chunk_device(grays[:CHUNK], depths[:CHUNK],
                                   tss[:CHUNK])
         jax.block_until_ready(sysd.arena.kf_t)
+        sysd.process(*frames[CHUNK])
+        key = jax.random.PRNGKey(0)
+        jax.block_until_ready(lpd._verify_slots(
+            sysd.arena, jnp.zeros((cfg.loop.top_k,), jnp.float32),
+            jnp.zeros((cfg.loop.top_k,), jnp.int32),
+            sysd.last_features, key))
+        jax.block_until_ready(lpd._close(
+            sysd.arena, lpd.edges, jnp.int32(0), jnp.int32(0),
+            jnp.asarray([1.0, 0, 0, 0], jnp.float32),
+            jnp.zeros((3,), jnp.float32), jnp.int32(lpd._n_edges),
+            sysd.state.pose.q, sysd.state.pose.t)[0].kf_t)
+        a2_, _ = lpd._fuse(sysd.arena, jnp.int32(0), jnp.int32(0))
+        sysd.arena = a2_
+        lpd._gba_pending = False
         t0 = time.perf_counter()
-        for lo in range(CHUNK, len(frames) - (len(frames) % CHUNK),
+        for lo in range(2 * CHUNK, len(frames) - (len(frames) % CHUNK),
                         CHUNK):
             sysd.process_chunk_device(
                 grays[lo:lo + CHUNK], depths[lo:lo + CHUNK],
