@@ -650,7 +650,7 @@ def bench_loop(_cfg_unused, flagship=False) -> dict:
         # warm the closure-chain jits BEFORE the timed region, exactly
         # like _one_pass — otherwise the "overlap" number times jit
         # loading, not closure handling
-        lpd._gba_tiers.update(lp._gba_tiers)
+        lpd._gba_tiers.update(system._loop._gba_tiers)
         sysd.process_chunk_device(grays[:CHUNK], depths[:CHUNK],
                                   tss[:CHUNK])
         jax.block_until_ready(sysd.arena.kf_t)
