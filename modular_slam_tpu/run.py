@@ -18,6 +18,8 @@ import json
 import sys
 import time as _time
 
+import numpy as np
+
 
 def apply_overrides(cfg, overrides):
     """Apply `section.field=value` strings to a SlamConfig, casting each
@@ -132,7 +134,16 @@ def main(argv=None) -> int:
         cls = TumTrajectoryWriter if args.format == "tum" else KittiTrajectoryWriter
         writer = cls(args.out)
 
-    frames_iter = iter(ds) if args.no_prefetch else ds.prefetch_iter()
+    # chunked mode streams the minimum-byte WIRE format (uint8 luma +
+    # raw uint16 depth — io/tum.py wire_iter): remote-device deployments
+    # are bounded by host->device link bytes, and the wire format is
+    # 2.3x smaller than rgb + f32 depth.  Per-frame mode (--chunk 1)
+    # keeps the full rgb frames (the per-frame step takes rgb).
+    use_wire = args.chunk > 1
+    if use_wire:
+        frames_iter = ds.wire_iter(native_ok=not args.no_prefetch)
+    else:
+        frames_iter = iter(ds) if args.no_prefetch else ds.prefetch_iter()
     buf = []
     written = 0
 
@@ -150,10 +161,21 @@ def main(argv=None) -> int:
 
     def _flush():
         if len(buf) == args.chunk:
-            system.process_chunk(*zip(*buf))
+            if use_wire:
+                system.process_chunk_wire(*zip(*buf))
+            else:
+                system.process_chunk(*zip(*buf))
         else:
             for r, d, t in buf:
-                system.process(r, d, t)
+                if use_wire:
+                    # partial tail in wire format: luma replicated to 3
+                    # channels is luma-invariant; raw depth -> meters
+                    rgb3 = np.repeat(r[..., None], 3, axis=-1)
+                    system.process(
+                        rgb3, d.astype(np.float32) * ds.camera.depth_factor,
+                        t)
+                else:
+                    system.process(r, d, t)
         _drain_writer()
         buf.clear()
 
@@ -205,7 +227,6 @@ def main(argv=None) -> int:
 
     if args.ate and ds.groundtruth is not None and args.out \
             and args.format == "tum":
-        import numpy as np
         from modular_slam_tpu.eval.ate import ate_rmse
         from modular_slam_tpu.io import read_tum_trajectory
 
