@@ -584,11 +584,16 @@ class SlamSystem:
             if (self._polish_burst > 0 or self._loop._gba_pending) \
                     and self._loop._prev_kf is not None:
                 if self._polish_burst > 0:
-                    self._polish_burst -= 1
                     self._loop._gba_pending = True
+                before = self._loop.n_global_ba
                 self.arena, self.state = self._loop.maybe_run_pending_gba(
                     self.arena, self.state, self._loop._prev_kf,
                     counters=self._prev_counters)
+                # consume a burst slot only when a polish actually ran —
+                # a still-compiling tier must not silently eat the burst
+                if self._polish_burst > 0 \
+                        and self._loop.n_global_ba > before:
+                    self._polish_burst -= 1
         if self._scan_takes_db:
             self.arena, self.state, out = self._scan(
                 self.arena, self.state, self._loop.db, grays, deps, times,

@@ -52,6 +52,11 @@ def _run_sequence(cfg, ds, pipeline: str, seed: int,
         system.process(rgb, depth, ts)
         n += 1
     wall = time.perf_counter() - t0
+    # complete deferred work (pending chunks, in-flight BA, a global-BA
+    # polish whose tier was still compiling) BEFORE scoring the map —
+    # without this a closure near the end of a short sequence could be
+    # scored unpolished (code-review r5 finding #1)
+    system.flush_backend()
     est = np.zeros((len(system.trajectory), 8), np.float64)
     for k, (ts, pose) in enumerate(system.trajectory):
         q = np.asarray(pose.q)

@@ -287,9 +287,11 @@ class LoopPipeline:
                                                              counters)
         if self._gba_pending:
             # a cold-tier closure deferred its global-BA polish; run it
-            # now if the background compile finished
-            arena, state = self.maybe_run_pending_gba(arena, state,
-                                                      kf_slot)
+            # now if the background compile finished (forward the
+            # pre-fetched counters — a host sync here would block on
+            # the in-flight chunk's scan)
+            arena, state = self.maybe_run_pending_gba(
+                arena, state, kf_slot, counters=counters)
         hist = self._bow(feats.descriptors.unpacked, feats.keypoints.valid)
         self.db = add_keyframe_bow(self.db, jnp.int32(kf_slot), hist)
         _mark("bow", self.db.hists)
@@ -499,8 +501,13 @@ class LoopPipeline:
 
     def start_background_prewarm(self, arena: MapArena) -> None:
         """Kick the first-tier compile at engine startup so the first
-        closure of a cold-cache run finds its executable ready."""
-        self._compile_tier_async((16, 1024, 4096), arena)
+        closure of a cold-cache run finds its executable ready.  The
+        base tier clamps to the arena caps — small-capacity configs
+        would otherwise prewarm a key no runtime tier ever matches."""
+        tier = (min(16, arena.max_keyframes),
+                min(1024, arena.max_landmarks),
+                min(4096, arena.max_observations))
+        self._compile_tier_async(tier, arena)
 
     def prewarm_for_counts(self, arena: MapArena, counts) -> None:
         """Keyframe-rate hook fed by the engine's compaction counter

@@ -67,6 +67,7 @@ from jax.ops import segment_sum
 from jax.sharding import Mesh, PartitionSpec as P
 
 from modular_slam_tpu.backend.ba import BAStats, _inv3x3
+from modular_slam_tpu.backend.ba import _huber_cost
 from modular_slam_tpu.backend.cg import pcg
 from modular_slam_tpu.backend.residuals import (
     ObsData,
@@ -89,12 +90,6 @@ from modular_slam_tpu.map.arena import MapArena
 from modular_slam_tpu.utils.indices import masked_indices
 
 Array = jnp.ndarray
-
-
-def _huber_cost(r: Array, delta: float, w: Array) -> Array:
-    n = jnp.linalg.norm(r, axis=-1)
-    rho = jnp.where(n <= delta, 0.5 * n * n, delta * (n - 0.5 * delta))
-    return jnp.sum(rho * w)
 
 
 def halo_comms_table(K: int, L: int, O: int, halo: int = 1,

@@ -39,6 +39,7 @@ from jax.ops import segment_sum
 from jax.sharding import Mesh, PartitionSpec as P
 
 from modular_slam_tpu.backend.ba import BAStats, _inv3x3
+from modular_slam_tpu.backend.ba import _huber_cost
 from modular_slam_tpu.backend.cg import pcg
 from modular_slam_tpu.backend.residuals import (
     ObsData,
@@ -60,12 +61,6 @@ from modular_slam_tpu.geometry.se3 import (
 from modular_slam_tpu.map.arena import MapArena
 
 Array = jnp.ndarray
-
-
-def _huber_cost(r: Array, delta: float, w: Array) -> Array:
-    n = jnp.linalg.norm(r, axis=-1)
-    rho = jnp.where(n <= delta, 0.5 * n * n, delta * (n - 0.5 * delta))
-    return jnp.sum(rho * w)
 
 
 def make_kf_sharded_global_ba(cfg: SlamConfig, mesh: Mesh,
