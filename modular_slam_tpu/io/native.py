@@ -54,6 +54,12 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_char_p),
         ctypes.c_int, ctypes.c_int, ctypes.c_int,
     ]
+    if hasattr(lib, "msl_prefetch_create2"):
+        lib.msl_prefetch_create2.restype = ctypes.c_void_p
+        lib.msl_prefetch_create2.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_char_p),
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ]
     lib.msl_prefetch_get.restype = ctypes.c_int
     lib.msl_prefetch_get.argtypes = [
         ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
@@ -104,13 +110,21 @@ class PrefetchLoader:
     """
 
     def __init__(self, rgb_paths: List[str], depth_paths: List[str],
-                 n_threads: int = 4, ring: int = 8):
+                 n_threads: int = 4, ring: int = 8,
+                 to_gray: bool = False):
+        """`to_gray=True`: decode threads convert rgb to 8-bit luma
+        in-thread (wire-format streaming — the conversion overlaps PNG
+        decode instead of costing main-thread time); `get` then returns
+        gray uint8 [H,W].  Requires the create2 ABI (rebuilt lib)."""
         lib = _load()
         if lib is None:
             raise RuntimeError("native loader unavailable")
+        if to_gray and not hasattr(lib, "msl_prefetch_create2"):
+            raise RuntimeError("native loader lacks create2 (stale build)")
         assert len(rgb_paths) == len(depth_paths)
         self._lib = lib
         self._n = len(rgb_paths)
+        self._to_gray = to_gray
         # probe resolution from frame 0
         probe = decode_png(rgb_paths[0])
         if probe is None or probe.ndim != 3:
@@ -121,8 +135,13 @@ class PrefetchLoader:
             *[p.encode() for p in rgb_paths])
         self._depth_bufs = (ctypes.c_char_p * self._n)(
             *[p.encode() for p in depth_paths])
-        self._handle = lib.msl_prefetch_create(
-            self._rgb_bufs, self._depth_bufs, self._n, n_threads, ring)
+        if to_gray:
+            self._handle = lib.msl_prefetch_create2(
+                self._rgb_bufs, self._depth_bufs, self._n, n_threads,
+                ring, 1)
+        else:
+            self._handle = lib.msl_prefetch_create(
+                self._rgb_bufs, self._depth_bufs, self._n, n_threads, ring)
         if not self._handle:
             raise RuntimeError("prefetcher creation failed")
 
@@ -130,9 +149,12 @@ class PrefetchLoader:
         return self._n
 
     def get(self, idx: int) -> Tuple[np.ndarray, np.ndarray]:
-        """-> (rgb uint8 [H,W,3], depth_raw uint16 [H,W]); blocks until
-        decoded."""
-        rgb = np.empty((self._h, self._w, 3), np.uint8)
+        """-> (rgb uint8 [H,W,3] — or gray uint8 [H,W] with to_gray —
+        plus depth_raw uint16 [H,W]); blocks until decoded."""
+        if self._to_gray:
+            rgb = np.empty((self._h, self._w), np.uint8)
+        else:
+            rgb = np.empty((self._h, self._w, 3), np.uint8)
         dep = np.empty((self._h, self._w), np.uint16)
         w = ctypes.c_int()
         h = ctypes.c_int()

@@ -210,10 +210,12 @@ class TumRgbdDataset:
 
             if not native.available():
                 raise RuntimeError
+            # luma conversion happens IN the decode threads (to_gray) so
+            # it overlaps PNG decode instead of costing main-thread time
             pl = native.PrefetchLoader(
                 [r.rgb_path for r in self.records],
                 [r.depth_path for r in self.records],
-                n_threads=n_threads, ring=ring,
+                n_threads=n_threads, ring=ring, to_gray=True,
             )
         except Exception:
             for rec in self.records:
@@ -224,9 +226,8 @@ class TumRgbdDataset:
             return
         try:
             for i, rec in enumerate(self.records):
-                rgb, dep = pl.get(i)
-                g, d = conv(rgb, dep.astype(np.uint16))
-                yield g, d, rec.timestamp
+                gray, dep = pl.get(i)
+                yield gray, dep.astype(np.uint16), rec.timestamp
         finally:
             pl.close()
 

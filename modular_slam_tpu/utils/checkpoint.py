@@ -44,6 +44,11 @@ def save_checkpoint(path: str, system) -> None:
         out["loop.prev_kf"] = np.int64(
             -1 if system._loop._prev_kf is None else system._loop._prev_kf)
         out["loop.n_global_ba"] = np.int64(system._loop.n_global_ba)
+        # closure-cooldown state (round 5): a resumed run must not
+        # re-fire a closure the cooldown was suppressing
+        out["loop.kf_counter"] = np.int64(system._loop._kf_counter)
+        out["loop.last_closure_at"] = np.int64(
+            system._loop._last_closure_at)
         # the database histograms are only meaningful against the codebook
         # that produced them — ship it with the checkpoint so a resume on
         # an install with a different/missing packaged vocab still scores
@@ -121,6 +126,10 @@ def load_checkpoint(path: str, system) -> None:
         system._loop._prev_kf = None if pk < 0 else pk
         if "loop.n_global_ba" in data:
             system._loop.n_global_ba = int(data["loop.n_global_ba"])
+        if "loop.kf_counter" in data:
+            system._loop._kf_counter = int(data["loop.kf_counter"])
+            system._loop._last_closure_at = int(
+                data["loop.last_closure_at"])
     if "counters" in data:
         c = data["counters"]
         system.n_loop_closures = int(c[0])

@@ -89,9 +89,29 @@ bool read_png(const char* path, Image* out) {
   return true;
 }
 
+// Luma conversion IN THE DECODE THREADS (wire-format streaming,
+// io/tum.py wire_iter): 0.299/0.587/0.114 rounded to uint8 — the
+// reference's own grayscale semantics (frame.cpp toGrayScale, CV_8U).
+// Doing it here overlaps the ~1 ms/frame conversion with PNG decode
+// instead of spending main-thread time per chunk.
+void rgb_to_luma(Image* img) {
+  if (img->channels != 3 || img->bit_depth != 8) return;
+  const size_t n = static_cast<size_t>(img->w) * img->h;
+  std::vector<uint8_t> gray(n);
+  const uint8_t* src = img->data.data();
+  for (size_t i = 0; i < n; ++i) {
+    const float v = 0.299f * src[3 * i] + 0.587f * src[3 * i + 1] +
+                    0.114f * src[3 * i + 2];
+    gray[i] = static_cast<uint8_t>(v + 0.5f);
+  }
+  img->data = std::move(gray);
+  img->channels = 1;
+}
+
 struct Prefetcher {
   std::vector<std::string> rgb_paths, depth_paths;
   int ring = 8;
+  bool to_gray = false;
   std::map<int, std::pair<Image, Image>> ready;
   std::mutex mu;
   std::condition_variable cv_ready, cv_space;
@@ -109,6 +129,7 @@ struct Prefetcher {
       bool ok = read_png(rgb_paths[idx].c_str(), &rgb) &&
                 read_png(depth_paths[idx].c_str(), &dep);
       (void)ok;  // failed frames surface as w==0 at get()
+      if (to_gray) rgb_to_luma(&rgb);
       std::unique_lock<std::mutex> lk(mu);
       cv_space.wait(lk, [&] {
         return stop.load() ||
@@ -143,16 +164,22 @@ int msl_png_read(const char* path, uint8_t* out) {
   return 0;
 }
 
-void* msl_prefetch_create(const char** rgb_paths, const char** depth_paths,
-                          int n, int n_threads, int ring) {
+void* msl_prefetch_create2(const char** rgb_paths, const char** depth_paths,
+                           int n, int n_threads, int ring, int to_gray) {
   auto* p = new Prefetcher();
   p->rgb_paths.assign(rgb_paths, rgb_paths + n);
   p->depth_paths.assign(depth_paths, depth_paths + n);
   p->ring = ring > 0 ? ring : 8;
+  p->to_gray = to_gray != 0;
   int nt = n_threads > 0 ? n_threads : 4;
   for (int i = 0; i < nt; ++i)
     p->workers.emplace_back(&Prefetcher::worker, p);
   return p;
+}
+
+void* msl_prefetch_create(const char** rgb_paths, const char** depth_paths,
+                          int n, int n_threads, int ring) {
+  return msl_prefetch_create2(rgb_paths, depth_paths, n, n_threads, ring, 0);
 }
 
 int msl_prefetch_get(void* handle, int idx, uint8_t* rgb_out,

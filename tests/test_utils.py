@@ -156,6 +156,10 @@ def test_checkpoint_roundtrip_through_loop_closure(tmp_path):
     assert s2.params.get("lba_max_num_iterations") == 7
     assert s2.cfg.backend.max_iterations == 7  # param write-back re-applied
     assert s2._loop._n_edges == s1._loop._n_edges
+    # closure-cooldown state survives (round 5): a resumed run must not
+    # re-fire a closure the cooldown was suppressing
+    assert s2._loop._kf_counter == s1._loop._kf_counter
+    assert s2._loop._last_closure_at == s1._loop._last_closure_at
     np.testing.assert_array_equal(np.asarray(s2._loop.db.hists),
                                   np.asarray(s1._loop.db.hists))
     np.testing.assert_array_equal(np.asarray(s2._loop.edges.i),
