@@ -48,3 +48,6 @@ def test_two_process_bootstrap_and_psum():
     for rank, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"rank {rank} failed:\n{out[-3000:]}"
         assert f"MH OK rank={rank}" in out, out[-3000:]
+        # the distributed Schur-complement BA (halo-sharded, ppermute +
+        # psum over gloo) converged across the process boundary
+        assert f"MH HALO OK rank={rank}" in out, out[-3000:]
