@@ -416,6 +416,7 @@ def _score_closures(system, poses, min_gap, thr=0.35, opp_thr=0.5,
     # opportunities around it into hits (code-review r5 finding #4)
     closed_tp = {cur for cur, _, _, _, is_tp in events if is_tp}
     last_closed_i = -(10 ** 9)
+    opp_rows = []   # (i, recognized) per opportunity keyframe
     for i, s in enumerate(valid_slots):
         prior = valid_slots[: max(0, i - min_gap)]
         if len(prior) == 0:
@@ -425,19 +426,46 @@ def _score_closures(system, poses, min_gap, thr=0.35, opp_thr=0.5,
         if not near:
             continue
         opp += 1
+        recognized = False
         if s in closed_tp:
             hit_closure += 1
             last_closed_i = i
+            recognized = True
         elif any(int((inc[s] & inc[p]).sum()) > covis_thr for p in near):
             hit_connected += 1
+            recognized = True
         elif i - last_closed_i <= cooldown:
             hit_cooldown += 1  # suppressed by a true closure's cooldown
+            recognized = True
+        opp_rows.append((float(kf_time[s]), recognized))
+    # EPISODE recall: temporally contiguous opportunity keyframes are
+    # one revisit EVENT (a lap re-entering mapped territory spans
+    # several keyframes; detection a few keyframes into the episode is
+    # a recognized revisit — the convention loop-closure recall is
+    # reported with.  The per-keyframe recall above additionally
+    # penalizes recognition LATENCY within the episode.)  Episodes
+    # break on a > ep_gap_s time gap between opportunity keyframes.
+    ep_gap_s = 10.0 / 30.0
+    episodes, ep_hits = 0, 0
+    j = 0
+    while j < len(opp_rows):
+        k = j
+        hit_ep = False
+        while k < len(opp_rows) and (
+                k == j or opp_rows[k][0] - opp_rows[k - 1][0] <= ep_gap_s):
+            hit_ep = hit_ep or opp_rows[k][1]
+            k += 1
+        episodes += 1
+        ep_hits += int(hit_ep)
+        j = k
     hit = hit_closure + hit_connected + hit_cooldown
     out = {
         "closures": len(events),
         "true_positives": tp,
         "false_positives": fp,
         "recall": round(hit / opp, 3) if opp else None,
+        "episode_recall": round(ep_hits / episodes, 3) if episodes else None,
+        "revisit_episodes": episodes,
         "recall_closure_only": round(hit_closure / opp, 3) if opp else None,
         "revisits_closed": hit_closure,
         "revisits_map_connected": hit_connected,
@@ -1065,6 +1093,7 @@ def main() -> int:
         "closure_overlap_added_ms": loop_stats.get(
             "deferred_overlap", {}).get("added_ms_per_closure"),
         "closure_recall": _acc(loop_stats, "recall"),
+        "closure_episode_recall": _acc(loop_stats, "episode_recall"),
         "closure_fp": _acc(loop_stats, "false_positives"),
         "flagship_closure_ms_median":
             loop_flagship.get("closure_ms_median"),
