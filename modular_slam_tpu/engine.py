@@ -380,16 +380,24 @@ class SlamSystem:
         checkpointing / before reading the map out)."""
         self._flush_pending_chunk()
         self._harvest_ba()
-        if self._loop is not None and self._loop.has_pending_closure:
-            self.arena, self.state, closed = self._loop.resolve_pending(
-                self.arena, self.state)
-            if closed:
-                self.n_loop_closures += 1
+        self._resolve_pending_closures()
         if self._loop is not None and self._loop._gba_pending:
             kf = self._loop._prev_kf
             if kf is not None:
                 self.arena, self.state = self._loop.maybe_run_pending_gba(
                     self.arena, self.state, kf, wait=True)
+
+    def _resolve_pending_closures(self, counters=None) -> bool:
+        """Drain the loop pipeline's deferred verification queue into
+        the engine state, counting accepted closures.  Returns whether
+        any closure landed."""
+        if self._loop is None or not self._loop.has_pending_closure:
+            return False
+        self.arena, self.state, closed = self._loop.resolve_pending(
+            self.arena, self.state, counters)
+        if closed:
+            self.n_loop_closures += 1
+        return closed
 
     def _maybe_compact(self, counters=None) -> bool:
         """Keyframe-rate map maintenance (map/lifecycle.py): when a pool
@@ -446,11 +454,7 @@ class SlamSystem:
         # deferred closure verification may survive (its slot indices
         # would go stale under the remap)
         self._harvest_ba()
-        if self._loop is not None and self._loop.has_pending_closure:
-            self.arena, self.state, closed = self._loop.resolve_pending(
-                self.arena, self.state)
-            if closed:
-                self.n_loop_closures += 1
+        self._resolve_pending_closures()
         if self._maint_fn is None:
             from modular_slam_tpu.map.lifecycle import (
                 compact_arena, cull_landmarks, evict_keyframes)
@@ -530,7 +534,9 @@ class SlamSystem:
         # 210 f/s on this path through the tunnel after jitting)
         rgb_d = jnp.asarray(np.stack([np.asarray(r) for r in rgbs]))
         if self._to_gray is None:
-            w = jnp.array([0.299, 0.587, 0.114], dtype=jnp.float32)
+            from modular_slam_tpu.types import LUMA_WEIGHTS
+
+            w = jnp.array(LUMA_WEIGHTS, dtype=jnp.float32)
             self._to_gray = jax.jit(lambda r: jnp.tensordot(
                 r.astype(jnp.float32), w, axes=([-1], [0])))
         grays = self._to_gray(rgb_d)
@@ -568,19 +574,15 @@ class SlamSystem:
         # against the corrected map (overlapped closure handling,
         # VERDICT r4 next #5)
         if self._loop is not None:
-            if self._loop.has_pending_closure:
-                self.arena, self.state, closed = self._loop.resolve_pending(
-                    self.arena, self.state, self._prev_counters)
-                if closed:
-                    self.n_loop_closures += 1
-                    # deferred corrections land a chunk late: several
-                    # keyframes baked drifted poses before the closure
-                    # could fix them.  Schedule a short global-BA polish
-                    # BURST over the following boundaries to grind that
-                    # error out (the sync path gets the equivalent
-                    # refinement from its blocking per-keyframe order).
-                    if self.cfg.loop.global_ba_on_loop:
-                        self._polish_burst = 3
+            if self._resolve_pending_closures(self._prev_counters):
+                # deferred corrections land a chunk late: several
+                # keyframes baked drifted poses before the closure
+                # could fix them.  Schedule a short global-BA polish
+                # BURST over the following boundaries to grind that
+                # error out (the sync path gets the equivalent
+                # refinement from its blocking per-keyframe order).
+                if self.cfg.loop.global_ba_on_loop:
+                    self._polish_burst = 3
             if (self._polish_burst > 0 or self._loop._gba_pending) \
                     and self._loop._prev_kf is not None:
                 if self._polish_burst > 0:

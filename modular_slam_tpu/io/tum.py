@@ -24,6 +24,7 @@ from typing import Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
 
+from modular_slam_tpu.types import LUMA_WEIGHTS  # noqa: E402
 from modular_slam_tpu.config import CameraConfig
 from modular_slam_tpu.io.associate import associate
 
@@ -186,7 +187,7 @@ class TumRgbdDataset:
         finally:
             pl.close()
 
-    _LUMA = np.array([0.299, 0.587, 0.114], np.float32)
+    _LUMA = np.array(LUMA_WEIGHTS, np.float32)
 
     def wire_iter(self, n_threads: int = 4, ring: int = 8,
                   native_ok: bool = True):
@@ -296,7 +297,7 @@ def frame_to_device(rgb: np.ndarray, depth: np.ndarray, timestamp: float):
     from modular_slam_tpu.types import RgbdFrame
 
     rgb_d = jnp.asarray(rgb)
-    w = jnp.array([0.299, 0.587, 0.114], dtype=jnp.float32)
+    w = jnp.array(LUMA_WEIGHTS, dtype=jnp.float32)
     gray = jnp.tensordot(rgb_d.astype(jnp.float32), w, axes=([-1], [0]))
     return RgbdFrame(
         rgb=rgb_d,

@@ -26,7 +26,8 @@ from modular_slam_tpu.backend.posegraph import (
 from modular_slam_tpu.config import SlamConfig
 from modular_slam_tpu.frontend.tracker import TrackState
 from modular_slam_tpu.geometry.camera import camera_from_config
-from modular_slam_tpu.geometry.se3 import Pose
+from modular_slam_tpu.geometry.se3 import (Pose, pose_compose,
+                                           pose_inverse)
 from modular_slam_tpu.loop.detector import (
     add_keyframe_bow,
     empty_database,
@@ -42,6 +43,14 @@ from modular_slam_tpu.types import Features
 Array = jnp.ndarray
 
 LOOP_EDGE_WEIGHT = 2.0
+
+
+def _delta_apply(old: Pose, new: Pose, live: Pose) -> Pose:
+    """Apply the world-frame correction new*old^-1 to a live pose —
+    the transform PGO/global BA applied to the loop keyframe, carried
+    onto the tracker's current pose (exact when live == old)."""
+    delta = pose_compose(new, pose_inverse(old))
+    return pose_compose(delta, live)
 
 
 class LoopPipeline:
@@ -145,29 +154,23 @@ class LoopPipeline:
         @jax.jit
         def _close(arena: MapArena, edges: PoseGraphEdges, cand, cur_kf,
                    meas_q, meas_t, edge_idx, live_q, live_t):
-            from modular_slam_tpu.geometry.se3 import (pose_compose,
-                                                       pose_inverse)
-
             old = Pose(q=arena.kf_q[cur_kf], t=arena.kf_t[cur_kf])
             p_cand = Pose(q=arena.kf_q[cand], t=arena.kf_t[cand])
             rel = relative_pose(p_cand, Pose(q=meas_q, t=meas_t))
             edges = add_edge(edges, edge_idx, cand, cur_kf, rel,
                              LOOP_EDGE_WEIGHT, is_loop=True)
             arena, new_kf_pose, _cost = _pgo_impl(arena, edges, cur_kf)
-            delta = pose_compose(new_kf_pose, pose_inverse(old))
-            live = pose_compose(delta, Pose(q=live_q, t=live_t))
+            live = _delta_apply(old, new_kf_pose,
+                                Pose(q=live_q, t=live_t))
             return arena, edges, live
 
         self._close = _close
 
         @jax.jit
         def _apply_pose_delta(old_q, old_t, new_q, new_t, live_q, live_t):
-            from modular_slam_tpu.geometry.se3 import (pose_compose,
-                                                       pose_inverse)
-
-            delta = pose_compose(Pose(q=new_q, t=new_t),
-                                 pose_inverse(Pose(q=old_q, t=old_t)))
-            return pose_compose(delta, Pose(q=live_q, t=live_t))
+            return _delta_apply(Pose(q=old_q, t=old_t),
+                                Pose(q=new_q, t=new_t),
+                                Pose(q=live_q, t=live_t))
 
         self._apply_pose_delta = _apply_pose_delta
         # (Kt,Lt,Ot) -> compiled compact global BA.  Values are either
@@ -524,6 +527,25 @@ class LoopPipeline:
         self._prewarm_successor_tiers(
             arena, tuple(int(c) for c in counts), tier)
 
+    @staticmethod
+    def _tier_for(arena: MapArena, counters):
+        """(tier, counts): from pre-fetched counters with a 25% lag
+        margin (chunk-boundary piggyback — counts may lag the arena by
+        one in-flight chunk, and a too-small tier would truncate the
+        newest keyframes out of the polish), else one host sync."""
+        from modular_slam_tpu.backend.ba import (global_ba_tier_counts,
+                                                 tier_from_counts)
+
+        if counters is None:
+            return global_ba_tier_counts(arena)
+        caps = (arena.max_keyframes, arena.max_landmarks,
+                arena.max_observations)
+        counts = tuple(int(c) for c in counters)
+        tier = tier_from_counts(
+            tuple(min(int(1.25 * c) + 1, cap)
+                  for c, cap in zip(counts, caps)), caps)
+        return tier, counts
+
     def maybe_run_pending_gba(
         self, arena: MapArena, state: TrackState, kf_slot: int,
         wait: bool = False, counters=None,
@@ -537,15 +559,7 @@ class LoopPipeline:
         from modular_slam_tpu.backend.ba import (global_ba_tier_counts,
                                                  tier_from_counts)
 
-        if counters is not None:
-            caps = (arena.max_keyframes, arena.max_landmarks,
-                    arena.max_observations)
-            counts = tuple(int(c) for c in counters)
-            tier = tier_from_counts(
-                tuple(min(int(1.25 * c) + 1, cap)
-                      for c, cap in zip(counts, caps)), caps)
-        else:
-            tier, counts = global_ba_tier_counts(arena)
+        tier, counts = self._tier_for(arena, counters)
         if wait:
             t = self._gba_threads.get(tier)
             if t is not None:
@@ -583,20 +597,7 @@ class LoopPipeline:
         from modular_slam_tpu.backend.ba import (global_ba_tier_counts,
                                                  tier_from_counts)
 
-        if counters is not None:
-            # pre-fetched counters (chunk-boundary piggyback): no host
-            # sync.  They may lag the arena by one in-flight chunk, so
-            # a tier whose caps the lagged counts already fill gets its
-            # successor instead (a too-small tier would truncate the
-            # newest keyframes out of the polish).
-            caps = (arena.max_keyframes, arena.max_landmarks,
-                    arena.max_observations)
-            counts = tuple(int(c) for c in counters)
-            tier = tier_from_counts(
-                tuple(min(int(1.25 * c) + 1, cap)
-                      for c, cap in zip(counts, caps)), caps)
-        else:
-            tier, counts = global_ba_tier_counts(arena)
+        tier, counts = self._tier_for(arena, counters)
         with self._gba_lock:
             gba = self._gba_tiers.get(tier)
         if gba is None:

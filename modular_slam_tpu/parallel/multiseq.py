@@ -82,7 +82,9 @@ class MultiSequenceRunner:
         n = min(len(s) for s in iters)
         if max_frames is not None:
             n = min(n, max_frames)
-        w = np.array([0.299, 0.587, 0.114], np.float32)
+        from modular_slam_tpu.types import LUMA_WEIGHTS
+
+        w = np.array(LUMA_WEIGHTS, np.float32)
         grays = np.stack([
             np.stack([s[i][0].astype(np.float32) @ w for s in iters])
             for i in range(n)])                          # [n, B, H, W]

@@ -18,6 +18,11 @@ from modular_slam_tpu.geometry.se3 import Pose
 
 Array = jnp.ndarray
 
+# RGB -> luma weights (the reference's toGrayScale, frame.cpp:6-27) —
+# the single source for every conversion site (engine chunk path, IO
+# wire format, DP batching, native loader mirrors it in C++)
+LUMA_WEIGHTS = (0.299, 0.587, 0.114)
+
 
 class RgbdFrame(NamedTuple):
     """One RGB-D frame resident on device.

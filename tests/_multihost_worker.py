@@ -67,51 +67,16 @@ def main() -> int:
     # processes (CPU-mesh proxy for the fabric).
     from jax.sharding import NamedSharding as _NS
 
-    from modular_slam_tpu.config import (BackendConfig, CameraConfig,
-                                         MapConfig, SlamConfig)
-    from modular_slam_tpu.geometry.camera import camera_from_config, project
-    from modular_slam_tpu.geometry.se3 import (Pose, pose_apply_inverse,
-                                               quat_from_axis_angle)
-    from modular_slam_tpu.map import (add_keyframe, add_landmarks,
-                                      add_observations, empty_arena)
+    from modular_slam_tpu.config import BackendConfig, SlamConfig
     from modular_slam_tpu.parallel import make_halo_sharded_global_ba
     from modular_slam_tpu.parallel.mesh import make_kf_mesh
+    from tests.test_backend_ba import CAM_CFG, _build_problem
 
-    cam_cfg = CameraConfig(fx=300.0, fy=300.0, cx=159.5, cy=119.5,
-                           width=320, height=240)
-    cfg = SlamConfig(camera=cam_cfg,
+    # identical deterministic problem on both processes (the same
+    # fixture the single-device agreement tests use)
+    cfg = SlamConfig(camera=CAM_CFG,
                      backend=BackendConfig(max_iterations=8))
-    cam = camera_from_config(cam_cfg)
-    mcfg = MapConfig(max_keyframes=16, max_landmarks=256,
-                     max_observations=2048, descriptor_bits=16)
-    rng = np.random.default_rng(7)  # identical on both processes
-    arena = empty_arena(mcfg)
-    gt = []
-    for k in range(5):
-        q = quat_from_axis_angle(jnp.asarray(
-            rng.normal(size=3).astype(np.float32) * 0.01))
-        t = jnp.asarray(np.array([0.05 * k, 0, 0], np.float32))
-        gt.append(Pose(q=q, t=t))
-        noise = (rng.normal(size=3).astype(np.float32) * 0.02
-                 if k else np.zeros(3, np.float32))
-        arena, _ = add_keyframe(
-            arena, Pose(q=q, t=t + jnp.asarray(noise)), jnp.float32(k))
-    lm_gt = np.stack([rng.uniform(-0.8, 1.0, 120),
-                      rng.uniform(-0.6, 0.6, 120),
-                      rng.uniform(1.5, 3.0, 120)], 1).astype(np.float32)
-    desc = jnp.asarray(rng.choice([-1, 1], (120, 16)).astype(np.int8))
-    arena, slots = add_landmarks(
-        arena, jnp.asarray(lm_gt + rng.normal(
-            size=lm_gt.shape).astype(np.float32) * 0.02),
-        desc, jnp.ones(120, bool))
-    for k, p in enumerate(gt):
-        pc = np.asarray(pose_apply_inverse(p, jnp.asarray(lm_gt)))
-        uv = np.asarray(project(cam, jnp.asarray(pc)))
-        vis = ((uv[:, 0] >= 5) & (uv[:, 0] < 315) & (uv[:, 1] >= 5)
-               & (uv[:, 1] < 235) & (pc[:, 2] > 0.1))
-        arena = add_observations(
-            arena, jnp.int32(k), slots, jnp.asarray(uv),
-            jnp.asarray(pc[:, 2]), desc, jnp.asarray(vis))
+    _cam, arena, _gt, _lm = _build_problem(seed=7)
 
     kf_mesh = make_kf_mesh(kf=8, obs=1)
     rep = _NS(kf_mesh, P())
