@@ -19,9 +19,7 @@ dir is then scoped by a machine fingerprint so a foreign cache can never
 be loaded even if the directory is copied across machines.
 """
 
-import hashlib
 import os
-import platform
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
@@ -37,18 +35,13 @@ jax.config.update("jax_enable_x64", False)
 if os.environ.get("MSLAM_TEST_CACHE", "0") == "1":
     # Machine fingerprint: CPU feature flags + arch.  A cache produced on a
     # different machine lands in a different directory and is never loaded.
-    try:
-        with open("/proc/cpuinfo") as f:
-            cpu_flags = next(
-                (ln for ln in f if ln.startswith("flags")), platform.machine()
-            )
-    except OSError:
-        cpu_flags = platform.machine()
-    fp = hashlib.sha1(
-        (platform.machine() + ":" + cpu_flags).encode()
-    ).hexdigest()[:12]
+    # (Same scoping that setup_compile_cache applies for every CLI entry
+    # point — utils/jaxtools.py machine_fingerprint.)
+    from modular_slam_tpu.utils.jaxtools import machine_fingerprint
+
     _CACHE_DIR = os.path.join(
-        os.path.dirname(__file__), "..", ".jax_cache", f"cpu-{fp}"
+        os.path.dirname(__file__), "..", ".jax_cache",
+        f"cpu-{machine_fingerprint()}"
     )
     jax.config.update("jax_compilation_cache_dir", os.path.abspath(_CACHE_DIR))
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
