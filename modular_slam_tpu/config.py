@@ -271,6 +271,16 @@ class LoopConfig:
     # reference's intended (but dead) loop-triggered global bundle
     # adjustment (ceres_backend.cpp:130-138, :173-183)
     global_ba_on_loop: bool = True
+    # queue ONE extra global-BA pass after landmark fusion: fusion
+    # rewires revisit-duplicate observations onto the originals —
+    # cross-lap constraints the closure-time GBA (which must run
+    # pre-fuse; duplicate matching needs aligned positions) never saw.
+    # The pass lands at the next keyframe / chunk boundary / flush, so
+    # it adds no closure latency.  Measured: two-lap 2 cm-noise world
+    # keyframe ATE 0.160 -> 0.125 m; at high depth noise (>= 8 cm) the
+    # fused constraints are themselves noisy and the extra pass can
+    # degrade slightly — disable for very noisy depth.
+    post_fuse_polish: bool = True
 
 
 @dataclasses.dataclass(frozen=True)
