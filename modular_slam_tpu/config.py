@@ -281,6 +281,16 @@ class LoopConfig:
     # fused constraints are themselves noisy and the extra pass can
     # degrade slightly — disable for very noisy depth.
     post_fuse_polish: bool = True
+    # deferred-pipelined mode only: a closure resolving at a chunk
+    # boundary lands one chunk late, so several keyframes baked drifted
+    # poses before the correction could reach them.  Run this many
+    # global-BA polish passes over the following chunk boundaries to
+    # grind that error out (the sync path gets the equivalent
+    # refinement from its blocking per-keyframe order).  Each pass
+    # costs one GBA tier solve of device time (~0.2 s at flagship
+    # capacity) — lower it to trade map accuracy for closure-burst
+    # throughput.
+    deferred_polish_burst: int = 3
 
 
 @dataclasses.dataclass(frozen=True)

@@ -582,7 +582,7 @@ class SlamSystem:
                 # error out (the sync path gets the equivalent
                 # refinement from its blocking per-keyframe order).
                 if self.cfg.loop.global_ba_on_loop:
-                    self._polish_burst = 3
+                    self._polish_burst = self.cfg.loop.deferred_polish_burst
             if (self._polish_burst > 0 or self._loop._gba_pending) \
                     and self._loop._prev_kf is not None:
                 if self._polish_burst > 0:

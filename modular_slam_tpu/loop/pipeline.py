@@ -568,9 +568,6 @@ class LoopPipeline:
         (n_kf, n_lm, n_obs) to avoid the tier host sync."""
         if not self._gba_pending:
             return arena, state
-        from modular_slam_tpu.backend.ba import (global_ba_tier_counts,
-                                                 tier_from_counts)
-
         tier, counts = self._tier_for(arena, counters)
         if wait:
             t = self._gba_threads.get(tier)
@@ -606,9 +603,6 @@ class LoopPipeline:
         compile runs on a background thread and the polish pass is
         deferred to the next keyframe (PGO already distributed the
         correction; GBA refines it)."""
-        from modular_slam_tpu.backend.ba import (global_ba_tier_counts,
-                                                 tier_from_counts)
-
         tier, counts = self._tier_for(arena, counters)
         with self._gba_lock:
             gba = self._gba_tiers.get(tier)
